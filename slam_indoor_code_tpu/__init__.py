@@ -1,0 +1,34 @@
+"""slam_indoor_code_tpu — a TPU-native monocular SLAM / incremental SfM framework.
+
+A ground-up JAX / XLA / Pallas re-design with the capabilities of the
+FIT-2023-SLAM-indoor/slam-indoor-code reference pipeline (C++17 / OpenCV /
+Ceres / CUDA).  Nothing is ported: every component is re-architected around
+fixed-shape batched array programs so the whole hot path jits onto the TPU's
+MXU/VPU, and scales over a `jax.sharding.Mesh`.
+
+Layer map (mirrors SURVEY.md §7 architecture):
+
+- ``config``     — JSON config with field-name parity with the reference
+                   schema (reference: src/config/configData.h:73-126).
+- ``io``         — txt trajectory/map writers + readers, OpenCV-XML calibration
+                   interop, media ingest (reference: src/misc/IOmisc.cpp).
+- ``ops``        — fixed-shape feature kernels: FAST detection, ORB/SIFT
+                   description, 2-NN matching (jnp reference impls + Pallas
+                   fast paths) (reference: src/mainModule/featureExtraction,
+                   featureMatching).
+- ``geometry``   — batched RANSAC essential-matrix estimation, pose recovery,
+                   PnP, DLT triangulation (reference: src/mainModule/translation,
+                   triangulation).
+- ``solver``     — Levenberg–Marquardt bundle adjustment with Schur complement
+                   and robust losses (reference: src/mainModule/bundleAdjustment).
+- ``pipeline``   — frame-batch scheduling, incremental SfM main cycle, global
+                   map arena (reference: src/mainModule/cycleProcessing).
+- ``parallel``   — device meshes, sharded matching, distributed BA collectives
+                   (new capability; the reference is single-process).
+- ``viz``        — point-cloud / trajectory visualization, clustering, plane
+                   fitting, Delaunay meshing (reference: src/vizualization).
+- ``calibration``— chessboard intrinsics calibration (reference:
+                   src/calibration/cameraCalibration.cpp).
+"""
+
+__version__ = "0.1.0"
