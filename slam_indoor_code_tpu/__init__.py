@@ -32,3 +32,15 @@ Layer map (mirrors SURVEY.md §7 architecture):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if not _os.environ.get("SLAM_TPU_NO_PRECISION_OVERRIDE"):
+    # TPU matmuls default to bfloat16 accumulation, which is far too coarse
+    # for multiview geometry (SVD/eigh nullspaces, pose chains).  Pin float32
+    # matmul precision globally; performance-critical descriptor kernels
+    # opt back into lower precision explicitly at their call sites.
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")
+

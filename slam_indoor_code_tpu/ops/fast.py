@@ -1,0 +1,146 @@
+"""FAST-9/16 corner detection as a dense, fixed-shape array program.
+
+The reference wraps ``cv::FastFeatureDetector`` (TYPE_9_16, non-max
+suppression on) and returns a dynamic keypoint vector
+(src/mainModule/featureExtraction/fastExtractor.cpp:7-14).  TPU-native
+design: the detector is evaluated *densely* — 16 ring comparisons as shifted
+image planes, contiguous-arc tests as windowed reductions, OpenCV-style
+corner score, 3×3 non-max suppression — and the dynamic output becomes a
+fixed top-K (scores, coords, validity mask).  The whole thing is elementwise/
+reduction work on [H,W] planes: pure VPU food that XLA fuses into a handful
+of passes, and `vmap` batches it over the frame-batch axis.
+
+requiredExtractedPointsCount semantics: the reference *keeps all* corners and
+gates frames on count ≥ required (batch.cpp:242-247); here `detect` returns
+up to ``max_keypoints`` strongest corners plus ``num_corners`` so the caller
+applies the same gate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# FAST 16-pixel Bresenham circle of radius 3, (dx, dy), clockwise from top.
+RING_OFFSETS = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+ARC_LEN = 9
+BORDER = 3
+
+
+def _ring_stack(gray: jnp.ndarray) -> jnp.ndarray:
+    """[H,W] → [16,H,W]: ring pixel value at each center position."""
+    planes = [
+        jnp.roll(gray, shift=(-int(dy), -int(dx)), axis=(0, 1))
+        for dx, dy in RING_OFFSETS
+    ]
+    return jnp.stack(planes)
+
+
+def _arc_extrema(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each of 16 arc starting positions: (min, max) of d over the 9
+    consecutive ring positions.  d: [16,H,W] → two [16,H,W] tensors."""
+    doubled = jnp.concatenate([d, d[: ARC_LEN - 1]], axis=0)  # [24,H,W]
+    mins, maxs = [], []
+    for s in range(16):
+        win = doubled[s : s + ARC_LEN]
+        mins.append(win.min(axis=0))
+        maxs.append(win.max(axis=0))
+    return jnp.stack(mins), jnp.stack(maxs)
+
+
+def fast_score_map(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST corner-score map [H,W].
+
+    Score follows OpenCV's definition: the largest threshold t for which the
+    pixel is still a corner = max over arcs of (min over the arc of
+    |ring−center|), taken over bright and dark arcs; 0 where not a corner at
+    the given threshold."""
+    gray = gray.astype(jnp.float32)
+    center = gray[None]
+    ring = _ring_stack(gray)
+    d = ring - center  # [16,H,W]
+
+    arc_min, arc_max = _arc_extrema(d)
+    # bright arc: all d > t  → its strength is min(d) over the arc
+    bright_strength = arc_min.max(axis=0)  # [H,W]
+    # dark arc: all d < -t → strength is min(-d) = -max(d)
+    dark_strength = (-arc_max).max(axis=0)
+    score = jnp.maximum(bright_strength, dark_strength)
+    is_corner = score > threshold
+
+    H, W = gray.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    in_bounds = (
+        (yy >= BORDER) & (yy < H - BORDER) & (xx >= BORDER) & (xx < W - BORDER)
+    )
+    return jnp.where(is_corner & in_bounds, score, 0.0)
+
+
+def _nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep only 3×3 local maxima (ties broken toward the raster-first pixel,
+    like OpenCV's sequential suppression)."""
+    H, W = score.shape
+    # Strict > with a raster-index epsilon tiebreak so plateaus keep exactly
+    # one survivor (OpenCV's sequential suppression keeps the first).
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    eps = ((yy * W + xx).astype(jnp.float32)) * 1e-7
+    tiebroken = score - eps
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh.append(jnp.roll(tiebroken, (-dy, -dx), (0, 1)))
+    nmax = jnp.stack(neigh).max(axis=0)
+    return jnp.where(tiebroken > nmax, score, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "nms"))
+def detect(
+    gray: jnp.ndarray,
+    threshold: float | jnp.ndarray = 20.0,
+    max_keypoints: int = 2048,
+    nms: bool = True,
+):
+    """FAST keypoints of one [H,W] frame.
+
+    Returns dict:
+      xy     [K,2] float32 — (x, y) pixel coords, strongest first
+      score  [K]   float32
+      valid  [K]   bool    — False for padding slots
+      num_corners  int32   — total corners detected (before top-K cut)
+    """
+    score = fast_score_map(gray, threshold)
+    if nms:
+        score = _nms3x3(score)
+    H, W = score.shape
+    flat = score.reshape(-1)
+    num_corners = (flat > 0).sum()
+    top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)
+    ys = (top_idx // W).astype(jnp.float32)
+    xs = (top_idx % W).astype(jnp.float32)
+    valid = top_scores > 0
+    xy = jnp.stack([xs, ys], axis=-1)
+    return {
+        "xy": jnp.where(valid[:, None], xy, 0.0),
+        "score": jnp.where(valid, top_scores, 0.0),
+        "valid": valid,
+        "num_corners": num_corners,
+    }
+
+
+detect_batch = jax.vmap(detect, in_axes=(0, None, None, None))
+"""Batched detection over [B,H,W] — the whole frame-batch in one program
+(replaces the reference's per-frame host loop in fillVideoFrameBatch,
+batch.cpp:228-267)."""

@@ -1,0 +1,127 @@
+"""2-NN descriptor matching with Lowe ratio filtering — the pipeline's
+hottest op.
+
+The reference brute-force kNN-matches the previous frame's descriptors
+against every batch frame, one frame at a time, on CPU or CUDA
+(featureMatchingCPU.cpp:17-43, featureMatchingCUDA.cpp:19-46; its logs put
+this at 0.2–2.7 s *per batch index* — SURVEY.md §6).  TPU-native design: the
+distance matrix is one [N,M] matmul (MXU) or XOR+popcount reduction (VPU),
+top-2 is two masked row reductions, and the *entire batch* matches in one
+[B,N,M] program (``match_batch``) — the reference's thread scheduler
+dissolves into vectorization (SURVEY.md §2 item 1).
+
+Metrics: 'l2' (SIFT, both BF and FLANN rank by L2 in the reference CPU
+backend), 'l1' (the CUDA backend's SIFT_BF choice, featureMatchingCUDA.cpp),
+'hamming' (ORB, packed uint32 words).
+
+Lowe ratio semantics match getGoodMatches (featureMatchingCommon.cpp:37-50):
+keep query i iff d0 < ratio · d1; match = (i → argmin_j).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(3.0e38)
+
+
+def l2_distance_sq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[N,D] × [M,D] → [N,M] squared L2 via the matmul identity (MXU path)."""
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    ab = a @ b.T
+    return jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+
+
+def l1_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[N,D] × [M,D] → [N,M] L1 (used by the reference's CUDA SIFT_BF path)."""
+    return jnp.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+
+
+def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Packed-bit Hamming: [N,W] uint32 × [M,W] uint32 → [N,M] float32.
+
+    XOR + population count on the VPU (no unpacking)."""
+    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+    return jax.lax.population_count(x).sum(-1).astype(jnp.float32)
+
+
+def distance_matrix(a, b, metric: str) -> jnp.ndarray:
+    if metric == "l2":
+        return l2_distance_sq(a, b)  # squared; monotone for ranking & ratio²
+    if metric == "l1":
+        return l1_distance(a, b)
+    if metric == "hamming":
+        return hamming_distance(a, b)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _top2(d: jnp.ndarray):
+    """Row-wise two smallest: [N,M] → (d1, idx1, d2). Two masked reductions —
+    cheaper than a sort on TPU."""
+    idx1 = jnp.argmin(d, axis=-1)
+    d1 = jnp.take_along_axis(d, idx1[:, None], axis=-1)[:, 0]
+    masked = d + jax.nn.one_hot(idx1, d.shape[-1], dtype=d.dtype) * BIG
+    d2 = masked.min(axis=-1)
+    return d1, idx1, d2
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def match_pair(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    ratio: float | jnp.ndarray = 0.7,
+    metric: str = "l2",
+):
+    """2-NN + ratio match of frame A's descriptors against frame B's.
+
+    Returns dict:
+      train_idx [N] int32 — best B index per A query
+      is_match  [N] bool  — passed validity + ratio test
+      num_matches int32
+    """
+    d = distance_matrix(desc_a, desc_b, metric)
+    # Invalidate padding columns before the reduction; padding rows filtered after.
+    d = jnp.where(valid_b[None, :], d, BIG)
+    d1, idx1, d2 = _top2(d)
+    if metric == "l2":
+        # distances are squared ⇒ compare against ratio² (ranking unchanged)
+        ok_ratio = d1 < (ratio * ratio) * d2
+    else:
+        ok_ratio = d1 < ratio * d2
+    is_match = ok_ratio & valid_a & (d1 < BIG / 2)
+    return {
+        "train_idx": idx1.astype(jnp.int32),
+        "is_match": is_match,
+        "distance": d1,
+        "num_matches": is_match.sum(),
+    }
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def match_batch(
+    desc_prev: jnp.ndarray,
+    valid_prev: jnp.ndarray,
+    desc_batch: jnp.ndarray,
+    valid_batch: jnp.ndarray,
+    frame_mask: jnp.ndarray,
+    ratio: float | jnp.ndarray = 0.7,
+    metric: str = "l2",
+):
+    """Match the previous frame against ALL B candidate frames at once.
+
+    desc_prev [N,D], desc_batch [B,M,D], frame_mask [B] (real frames in the
+    padded batch).  Returns per-frame match tensors with a leading B axis plus
+    ``num_matches`` [B] — the quantity the batch scheduler's good-frame rule
+    consumes (batch.cpp:120-148)."""
+    res = jax.vmap(
+        lambda db, vb: match_pair(desc_prev, valid_prev, db, vb, ratio, metric)
+    )(desc_batch, valid_batch)
+    res["is_match"] = res["is_match"] & frame_mask[:, None]
+    res["num_matches"] = res["is_match"].sum(axis=-1)
+    return res
