@@ -35,6 +35,14 @@ __version__ = "0.1.0"
 
 import os as _os
 
+if _os.environ.get("SLAM_TPU_PLATFORM"):
+    # Select the JAX platform even when the environment pre-imports jax
+    # (env vars like JAX_PLATFORMS are read at import time and would be
+    # ignored): SLAM_TPU_PLATFORM=cpu forces host execution.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SLAM_TPU_PLATFORM"])
+
 if not _os.environ.get("SLAM_TPU_NO_PRECISION_OVERRIDE"):
     # TPU matmuls default to bfloat16 accumulation, which is far too coarse
     # for multiview geometry (SVD/eigh nullspaces, pose chains).  Pin float32

@@ -1,0 +1,110 @@
+"""Application driver: the ``slamMain`` + ``main`` equivalent.
+
+Mirrors src/main.cpp: dispatch to calibration / onlyViz-reload / SLAM; the
+SLAM path runs the restart loop — when a cycle loses track it relaunches with
+the last good pose carried over, and sub-map results are concatenated
+(src/main.cpp:76-115, do-while at :89-101).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import Config
+from .io.logs import GlobalData, LogStreams, load_global_data_from_logs
+from .io.media import ArraySource, MediaSource
+from .io.xmlio import load_matrix_from_xml
+from .models import frontend as fe
+from .pipeline.main_cycle import CycleSettings, MainCycle
+from .pipeline.structures import MapArena
+from .solver.ba import WindowedBA
+from .utils.timer import ChronoTimer
+
+
+def make_media(cfg: Config, frames=None):
+    if frames is not None:
+        return ArraySource(frames)
+    return MediaSource(
+        photos_pattern=cfg.photosPathPattern,
+        video_path=cfg.videoSourcePath,
+        use_photos=cfg.usePhotosCycle,
+    )
+
+
+def load_calibration(cfg: Config) -> tuple[np.ndarray, np.ndarray]:
+    """K and distortion coefficients from the configured XML
+    (defineCalibrationMatrix, cameraCalibration.cpp:34-37 +
+    defineDistortionCoeffs, mainCycleInternals.cpp:68-75)."""
+    K = load_matrix_from_xml(cfg.calibrationPath, "K")
+    try:
+        dc = load_matrix_from_xml(cfg.calibrationPath, "DC").reshape(-1)
+    except KeyError:
+        dc = np.zeros(5)
+    return K.astype(np.float64), dc.astype(np.float64)
+
+
+def slam_main(cfg: Config, K: np.ndarray, frames=None, seed: int = 0) -> GlobalData:
+    """Run the full SLAM pipeline with restart-on-track-loss.
+
+    ``frames``: optional in-memory frame list (tests/bench); otherwise media
+    comes from the config.  Returns the accumulated GlobalData and writes the
+    reference-format txt logs to cfg.outputDataDir."""
+    timer = ChronoTimer()
+    logs = LogStreams(cfg.outputDataDir)
+    media = make_media(cfg, frames)
+    fcfg = fe.frontend_config_from(cfg)
+    settings = CycleSettings.from_config(cfg)
+    arena = MapArena(cfg.tpu.max_map_points)
+
+    ba_fn = None
+    if cfg.useBundleAdjustment:
+        loss, param = cfg.ba_loss
+        ba_fn = WindowedBA(
+            loss=loss, loss_param=param, max_iters=cfg.tpu.ba_max_iters,
+            window=cfg.BAMaxFramesCnt, window_points=cfg.tpu.window_points,
+            report=logs.main,
+        )
+
+    global_data = GlobalData()
+    cycle = MainCycle(media, K, settings, fcfg, arena, logs=logs, ba_fn=ba_fn,
+                      seed=seed)
+
+    init_R, init_t = np.eye(3), np.zeros(3)
+    launch = 0
+    while True:
+        logs.main.write(f"Launching main cycle...\n")
+        result = cycle.run(init_R, init_t)
+        global_data.extend(result["global_data"])
+        launch += 1
+        if result["status"] != "interrupted" or result["last_frame"] is None:
+            break
+        # restart with pose carry-over (defineCameraPosition,
+        # mainCycleInternals.cpp:122-133)
+        init_R = result["last_frame"].rotation
+        init_t = result["last_frame"].motion
+        if cycle.scheduler.media_exhausted:
+            break
+
+    pts, cols = arena.snapshot()
+    global_data.points = pts
+    global_data.colors = cols.astype(np.float64)
+    logs.write_map(pts, cols)
+
+    if global_data.empty:
+        logs.main.write("Couldn't process image sequence. Too little data.\n")
+    timer.print_start_delta("Whole time: ", logs.time)
+    logs.close()
+    return global_data
+
+
+def run_from_config(cfg: Config, frames=None) -> GlobalData:
+    """Top-level dispatch (main, src/main.cpp:28-74)."""
+    if cfg.calibrate:
+        from .calibration.chessboard import main_calibration_entry_point
+
+        main_calibration_entry_point(cfg)
+        return GlobalData()
+    if cfg.onlyViz:
+        return load_global_data_from_logs(cfg.outputDataDir)
+    K, _dc = load_calibration(cfg)
+    return slam_main(cfg, K, frames=frames)

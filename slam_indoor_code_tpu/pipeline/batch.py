@@ -62,6 +62,7 @@ class BatchScheduler:
         self.skip_from_head = skip_from_head
         self.use_first_fit = use_first_fit
         self.batch: list[BatchElement] = []
+        self._pending: list[BatchElement] = []
         self._media_over = False
         self.report = report  # optional main.txt-style stream
         self.skipped_frames_total = 0
@@ -72,6 +73,12 @@ class BatchScheduler:
         (too-few-corners frames), mirroring fillVideoFrameBatch."""
         skipped = 0
         accepted_counts = []
+        # admit previously decoded extras first (keeps batch at capacity
+        # without re-decoding; chunked device calls may produce overshoot)
+        while self._pending and len(self.batch) < self.batch_size:
+            el = self._pending.pop(0)
+            accepted_counts.append(int(np.asarray(el.valid).sum()))
+            self.batch.append(el)
         while len(self.batch) < self.batch_size and not self._media_over:
             chunk = []
             while len(chunk) < _FILL_CHUNK:
@@ -82,26 +89,28 @@ class BatchScheduler:
                 chunk.append(f)
             if not chunk:
                 break
-            rgb = jnp.asarray(np.stack(chunk))
+            pad = _FILL_CHUNK - len(chunk)
+            stacked = np.stack(chunk + [chunk[-1]] * pad)  # pad: one compile
+            rgb = jnp.asarray(stacked)
             res = fe.extract_and_describe_batch(self.fcfg, rgb)
             counts = np.asarray(res["num_corners"])
             for i in range(len(chunk)):
                 if counts[i] < self.required_extracted:
                     skipped += 1
                     continue
-                accepted_counts.append(int(counts[i]))
-                self.batch.append(
-                    BatchElement(
-                        frame=chunk[i],
-                        xy=res["xy"][i],
-                        valid=res["valid"][i],
-                        score=res["score"][i],
-                        desc=res["desc"][i],
-                        colors=np.asarray(res["colors"][i]),
-                    )
+                el = BatchElement(
+                    frame=chunk[i],
+                    xy=res["xy"][i],
+                    valid=res["valid"][i],
+                    score=res["score"][i],
+                    desc=res["desc"][i],
+                    colors=np.asarray(res["colors"][i]),
                 )
-            # NB: frames decoded past batch_size stay in self.batch (it may
-            # exceed batch_size by up to chunk-1); selection handles any B.
+                if len(self.batch) < self.batch_size:
+                    accepted_counts.append(int(counts[i]))
+                    self.batch.append(el)
+                else:
+                    self._pending.append(el)
         if self.report is not None:
             self.report.write(
                 "Features count in frames added to batch: "
@@ -172,4 +181,4 @@ class BatchScheduler:
 
     @property
     def media_exhausted(self) -> bool:
-        return self._media_over and not self.batch
+        return self._media_over and not self.batch and not self._pending

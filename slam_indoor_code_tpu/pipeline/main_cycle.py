@@ -148,7 +148,13 @@ class MainCycle:
     # --------------------------------------------------------------- bootstrap
     def _find_first_good_frame(self) -> TemporalFrameData | None:
         """Pop frames until one has ≥ required corners
-        (findFirstGoodFrame, mainCycleInternals.cpp:136-155)."""
+        (findFirstGoodFrame, mainCycleInternals.cpp:136-155).
+
+        After a track-loss restart our scheduler still holds staged batch
+        frames (already past the corner gate); consume those first — the
+        reference drops its batch tail on restart, we don't."""
+        if self.scheduler.batch:
+            return _element_to_frame_data(self.scheduler.pop_head(), None)
         while True:
             f = self.media.next_frame()
             if f is None:
@@ -302,9 +308,11 @@ class MainCycle:
                     uv1, uv2, mmask,
                 )
             )
+            new_ok, prop_ok = self._verify_points(Xnew, cur, new, np.asarray(uv1), np.asarray(uv2))
             push_new_spatial_points(
                 new.colors, Xnew, self.arena,
                 cur.correspond, new.match_train, new.match_mask, new.correspond,
+                new_point_ok=new_ok, propagate_ok=prop_ok,
             )
             if self.logs:
                 timer.print_last_point_delta("Reconstruction: ", self.logs.time)
@@ -327,12 +335,40 @@ class MainCycle:
             "frames_accepted": frames_accepted,
         }
 
+    def _verify_points(self, Xnew, cur, new, uv1, uv2, gate_px: float = 8.0):
+        """Map-hygiene gates (beyond the reference, which pushes unfiltered):
+        a new landmark must reproject within ``gate_px`` in both frames with
+        positive depth; an existing binding must reproject within ``gate_px``
+        in the new frame to propagate."""
+
+        def _reproj(R, t, X, uv):
+            Xc = X @ R.T + t
+            z = Xc[:, 2]
+            pix = Xc @ self.K_host.T
+            pix = pix[:, :2] / np.maximum(np.abs(pix[:, 2:3]), 1e-9) * np.sign(pix[:, 2:3] + (pix[:, 2:3] == 0))
+            return np.linalg.norm(pix - uv, axis=1), z
+
+        e1, z1 = _reproj(cur.rotation, cur.motion, Xnew, uv1)
+        e2, z2 = _reproj(new.rotation, new.motion, Xnew, uv2)
+        new_ok = (e1 < gate_px) & (e2 < gate_px) & (z1 > 0) & (z2 > 0)
+
+        bound = cur.correspond >= 0
+        Xold = self.arena.points[np.where(bound, cur.correspond, 0)]
+        e_old, z_old = _reproj(new.rotation, new.motion, Xold, uv2)
+        prop_ok = (e_old < gate_px) & (z_old > 0)
+        return new_ok, prop_ok
+
     def _ba_and_flush(self, processed: list[TemporalFrameData], gd: GlobalData, timer):
         """Windowed BA (if enabled) then move poses to the cycle's GlobalData
         (bundleAdjustment + moveProcessedDataToGlobalStruct,
         mainCycle.cpp:201-210, 318-338)."""
         if self.s.use_ba and self.ba_fn is not None and len(processed) >= 2:
-            self.ba_fn(self.K_host, processed, self.arena)
+            # BA adjusts the shared intrinsics in place, like the reference
+            # writing back into calibrationMatrix (bundleAdjustment.cpp:176-181).
+            new_K = self.ba_fn(self.K_host, processed, self.arena)
+            if new_K is not None:
+                self.K_host = np.asarray(new_K, np.float64)
+                self.K = jnp.asarray(new_K, jnp.float32)
             if self.logs:
                 timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
                 timer.update_last_point()

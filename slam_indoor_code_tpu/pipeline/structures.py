@@ -121,16 +121,28 @@ def push_new_spatial_points(
     match_train: np.ndarray,
     match_mask: np.ndarray,
     new_correspond: np.ndarray,
+    new_point_ok: np.ndarray | None = None,
+    propagate_ok: np.ndarray | None = None,
 ) -> int:
     """Merge per-match triangulated points into the map (reference:
     pushNewSpatialPoints, mainCycleInternals.cpp:222-246): a match whose
     previous keypoint has no bound map point creates a new landmark (colored
     by the new frame's pixel); otherwise the existing landmark id propagates
     to the new frame's keypoint.  Mutates ``prev_correspond`` and
-    ``new_correspond`` in place; returns number of new landmarks."""
+    ``new_correspond`` in place; returns number of new landmarks.
+
+    Quality gates beyond the reference (which pushes every match unfiltered —
+    gross triangulation failures then poison PnP/BA): ``new_point_ok`` admits
+    a new landmark only if its triangulation verified (chirality + bounded
+    reprojection), ``propagate_ok`` re-verifies an existing binding before
+    propagating it to the new frame."""
     q = np.arange(len(match_mask))
     is_new = match_mask & (prev_correspond < 0)
     is_old = match_mask & (prev_correspond >= 0)
+    if new_point_ok is not None:
+        is_new = is_new & new_point_ok
+    if propagate_ok is not None:
+        is_old = is_old & propagate_ok
 
     # propagate existing ids
     new_correspond[match_train[is_old]] = prev_correspond[is_old]

@@ -1,0 +1,23 @@
+"""Visualization + surfacing (host-side)."""
+
+from .mesh import (
+    best_fitting_plane,
+    build_scene_meshes,
+    clusterize_points,
+    delaunay,
+    delaunay_bowyer_watson,
+    make_mesh,
+)
+from .pointcloud import export_ply, render_png, visualize_global_data
+
+__all__ = [
+    "best_fitting_plane",
+    "build_scene_meshes",
+    "clusterize_points",
+    "delaunay",
+    "delaunay_bowyer_watson",
+    "export_ply",
+    "make_mesh",
+    "render_png",
+    "visualize_global_data",
+]

@@ -1,0 +1,127 @@
+"""Point-cloud + camera-trajectory visualization (host-side, non-TPU).
+
+Reference counterpart: src/vizualization/vizualizationModule.cpp (cv::viz 3-D
+window with colored cloud, WTrajectory frusta, fly-cam keyboard handler) and
+the 18-line Open3D viewer in python_utility/visualizer.py.
+
+Rebuild: Open3D interactive viewer when available, PLY + matplotlib PNG
+export for headless runs (CI/TPU pods have no display — artifacts replace
+windows)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def export_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None) -> None:
+    """Write an ASCII PLY — consumable by Open3D/MeshLab (and by the
+    reference's python_utility workflow after txt→ply conversion)."""
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    n = len(points)
+    has_color = colors is not None and len(colors) == n
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_color:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        if has_color:
+            c = np.asarray(colors).astype(np.uint8).reshape(-1, 3)
+            for p, col in zip(points, c):
+                f.write(f"{p[0]} {p[1]} {p[2]} {col[0]} {col[1]} {col[2]}\n")
+        else:
+            for p in points:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def camera_frustum_lines(R: np.ndarray, t: np.ndarray, scale: float = 0.1):
+    """Line segments of one camera frustum in world coords (WTrajectory-style
+    glyphs, vizualizationModule.cpp:44-59)."""
+    C = -R.T @ t
+    corners_cam = np.array(
+        [[-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2]], np.float64
+    ) * scale
+    corners = corners_cam @ R + C  # R.T @ x = x @ R
+    segs = []
+    for i in range(4):
+        segs.append((C, corners[i]))
+        segs.append((corners[i], corners[(i + 1) % 4]))
+    return segs
+
+
+def render_png(
+    path: str,
+    points: np.ndarray,
+    colors: np.ndarray | None,
+    rotations: np.ndarray | None = None,
+    positions: np.ndarray | None = None,
+) -> None:
+    """Headless matplotlib 3-D render: cloud + trajectory + frusta."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.add_subplot(projection="3d")
+    pts = np.asarray(points).reshape(-1, 3)
+    if len(pts):
+        c = None
+        if colors is not None and len(colors) == len(pts):
+            c = np.clip(np.asarray(colors, np.float64) / 255.0, 0, 1)
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=1, c=c)
+    if rotations is not None and positions is not None and len(rotations):
+        centers = np.stack([-R.T @ t for R, t in zip(rotations, positions)])
+        ax.plot(centers[:, 0], centers[:, 1], centers[:, 2], "r-", lw=2)
+        for R, t in zip(rotations, positions):
+            for a, b in camera_frustum_lines(R, t):
+                ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], "g-", lw=0.5)
+    ax.set_box_aspect((1, 1, 1))
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def visualize_global_data(gd, cfg, *, interactive: bool | None = None,
+                          out_prefix: str | None = None) -> dict:
+    """Full viz path (vizualizePointsAndCameras, vizualizationModule.cpp:
+    61-134): cloud + trajectory (+ per-cluster meshes when the TRIANGLE_*
+    config section asks for them).  Headless: exports .ply/.png; interactive:
+    opens an Open3D window (fly-cam lives in Open3D itself, replacing the
+    cv::viz KeyboardViz3d handler)."""
+    out_prefix = out_prefix or os.path.join(cfg.outputDataDir, "viz")
+    artifacts = {}
+    export_ply(out_prefix + "_cloud.ply", gd.points, gd.colors)
+    artifacts["ply"] = out_prefix + "_cloud.ply"
+    render_png(out_prefix + ".png", gd.points, gd.colors, gd.rotations, gd.positions)
+    artifacts["png"] = out_prefix + ".png"
+
+    if cfg.TriangleMinimumPoints > 0 and len(gd.points) >= cfg.TriangleMinimumPoints:
+        from .mesh import build_scene_meshes
+
+        meshes = build_scene_meshes(
+            gd.points, np.asarray(gd.colors),
+            max_distance=cfg.TriangleMaxDistance,
+            euclid_weight=cfg.TriangleEuclidDistanceWeight,
+            color_weight=cfg.TriangleColorDistance,
+            min_cluster_points=cfg.TriangleMinimumPoints,
+        )
+        artifacts["num_meshes"] = len(meshes)
+
+    if interactive is None:
+        interactive = bool(os.environ.get("DISPLAY"))
+    if interactive:
+        try:
+            import open3d as o3d
+
+            pcd = o3d.geometry.PointCloud()
+            pcd.points = o3d.utility.Vector3dVector(gd.points)
+            if len(gd.colors) == len(gd.points):
+                pcd.colors = o3d.utility.Vector3dVector(
+                    np.asarray(gd.colors, np.float64) / 255.0)
+            o3d.visualization.draw_geometries([pcd])
+        except ImportError:
+            pass
+    return artifacts

@@ -1,0 +1,142 @@
+"""Bundle-adjustment tests on synthetic toy problems with known optima
+(SURVEY.md §4 oracle (c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_indoor_code_tpu.geometry.rotations import matrix_to_rodrigues, rodrigues_to_matrix
+from slam_indoor_code_tpu.solver import BAConfig, WindowedBA, bundle_adjust_window, loss_rho_and_weight
+from slam_indoor_code_tpu.pipeline.structures import MapArena, TemporalFrameData
+
+
+def _window_problem(scene, rng, n_frames=4, n_points=120, noise=0.3,
+                    pose_jitter=0.02, point_jitter=0.05):
+    """Build a BA window from the synthetic scene with perturbed initial
+    values; ground truth is the scene itself."""
+    F, P = n_frames, n_points
+    pts_gt = scene.points[:P]
+    K4 = np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]],
+                  np.float32)
+    Kslots = P
+    uv = np.zeros((F, Kslots, 2), np.float32)
+    idx = np.tile(np.arange(P, dtype=np.int32), (F, 1))
+    mask = np.zeros((F, Kslots), bool)
+    cams = np.zeros((F, 6), np.float32)
+    for f in range(F):
+        uvf, vis = scene.project(f, noise=noise, rng=rng)
+        uv[f] = uvf[:P]
+        mask[f] = vis[:P]
+        aa = np.asarray(matrix_to_rodrigues(jnp.asarray(scene.rotations[f], jnp.float32)))
+        jit_aa = aa + (rng.normal(0, pose_jitter, 3) if f > 0 else 0)
+        jit_t = scene.translations[f] + (rng.normal(0, pose_jitter, 3) if f > 0 else 0)
+        cams[f, :3] = jit_aa
+        cams[f, 3:] = jit_t
+    pts0 = (pts_gt + rng.normal(0, point_jitter, pts_gt.shape)).astype(np.float32)
+    pmask = np.ones(P, bool)
+    return K4, cams, pts0, uv, idx, mask, pmask, pts_gt
+
+
+def _rmse(cfg, K4, cams, pts, uv, idx, mask, pmask):
+    out = bundle_adjust_window(cfg, jnp.asarray(K4), jnp.asarray(cams),
+                               jnp.asarray(pts), jnp.asarray(uv),
+                               jnp.asarray(idx), jnp.asarray(mask),
+                               jnp.asarray(pmask))
+    return out
+
+
+def test_ba_reduces_rmse_and_recovers_poses(scene, rng):
+    K4, cams, pts0, uv, idx, mask, pmask, pts_gt = _window_problem(scene, rng)
+    cfg = BAConfig(loss="trivial", max_iters=20)
+    K4f, camsf, ptsf, info = _rmse(cfg, K4, cams, pts0, uv, idx, mask, pmask)
+    assert float(info["final_rmse"]) < float(info["initial_rmse"]) * 0.5
+    # ~pixel-noise floor
+    assert float(info["final_rmse"]) < 0.6
+    # poses recovered close to GT
+    for f in range(1, 4):
+        R = np.asarray(rodrigues_to_matrix(jnp.asarray(camsf[f, :3])))
+        Rerr = R @ scene.rotations[f].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rerr) - 1) / 2, -1, 1)))
+        assert ang < 0.3, f"frame {f} rot err {ang}"
+
+
+def test_ba_gauge_frame0_fixed(scene, rng):
+    K4, cams, pts0, uv, idx, mask, pmask, _ = _window_problem(scene, rng)
+    cfg = BAConfig(loss="huber", loss_param=2.0, max_iters=10)
+    K4f, camsf, ptsf, info = _rmse(cfg, K4, cams, pts0, uv, idx, mask, pmask)
+    np.testing.assert_allclose(np.asarray(camsf[0]), cams[0], atol=1e-7)
+
+
+def test_ba_huber_resists_outliers(scene, rng):
+    K4, cams, pts0, uv, idx, mask, pmask, pts_gt = _window_problem(scene, rng)
+    # corrupt 10% of observations massively
+    bad = rng.random(mask.shape) < 0.1
+    uv = uv + np.where(bad, 80.0, 0.0)[..., None].astype(np.float32)
+    cfg_t = BAConfig(loss="trivial", max_iters=15)
+    cfg_h = BAConfig(loss="huber", loss_param=1.5, max_iters=15)
+    _, cams_t, _, _ = _rmse(cfg_t, K4, cams, pts0, uv, idx, mask, pmask)
+    _, cams_h, _, _ = _rmse(cfg_h, K4, cams, pts0, uv, idx, mask, pmask)
+
+    def pose_err(camsf):
+        errs = []
+        for f in range(1, 4):
+            R = np.asarray(rodrigues_to_matrix(jnp.asarray(camsf[f, :3])))
+            Rerr = R @ scene.rotations[f].T
+            errs.append(np.degrees(np.arccos(np.clip((np.trace(Rerr) - 1) / 2, -1, 1))))
+        return np.mean(errs)
+
+    assert pose_err(cams_h) < pose_err(cams_t)
+
+
+@pytest.mark.parametrize("kind", ["trivial", "huber", "cauchy", "arctan", "tukey"])
+def test_losses_shape_and_limits(kind):
+    s = jnp.asarray([0.0, 0.01, 1.0, 100.0])
+    rho, w = loss_rho_and_weight(s, kind, 1.0)
+    assert rho.shape == s.shape and w.shape == s.shape
+    assert float(w[0]) == pytest.approx(1.0, abs=1e-5)  # all behave like LS at 0
+    assert np.all(np.asarray(w) <= 1.0 + 1e-6)
+    if kind != "trivial":
+        assert float(w[-1]) < 0.2  # big residuals downweighted
+
+
+def test_windowed_ba_host_adapter(scene, rng):
+    """WindowedBA packs frames + arena, solves, writes back in place."""
+    P = 100
+    arena = MapArena(1024)
+    ids = arena.append(scene.points[:P] + rng.normal(0, 0.05, (P, 3)),
+                       np.zeros((P, 3), np.uint8))
+    frames = []
+    for f in range(3):
+        uvf, vis = scene.project(f, noise=0.2, rng=rng)
+        fd = TemporalFrameData.empty(P, 1)
+        fd.xy = uvf[:P].astype(np.float32)
+        fd.valid = vis[:P]
+        fd.correspond = np.where(vis[:P], ids, -1).astype(np.int32)
+        aa_jit = rng.normal(0, 0.01, 3) if f else np.zeros(3)
+        R = scene.rotations[f]
+        fd.rotation = R @ np.asarray(
+            rodrigues_to_matrix(jnp.asarray(aa_jit, jnp.float32)))
+        fd.motion = scene.translations[f] + (rng.normal(0, 0.01, 3) if f else 0)
+        frames.append(fd)
+    ba = WindowedBA(loss="huber", loss_param=2.0, max_iters=15, window=4,
+                    window_points=256)
+    K_new = ba(scene.K.copy(), frames, arena)
+    assert K_new.shape == (3, 3)
+    # poses written back & improved
+    for f in range(1, 3):
+        Rerr = frames[f].rotation @ scene.rotations[f].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rerr) - 1) / 2, -1, 1)))
+        assert ang < 0.3
+    # map points updated in place: final reprojection residual at the
+    # pixel-noise floor (3-view geometry leaves ~0.08 depth uncertainty, so
+    # compare in image space — the quantity BA minimizes)
+    reproj = []
+    for f in range(3):
+        Xc = arena.points[:P] @ frames[f].rotation.T + frames[f].motion
+        uv_hat = (Xc @ K_new.T)
+        uv_hat = uv_hat[:, :2] / uv_hat[:, 2:3]
+        e = np.linalg.norm(uv_hat - frames[f].xy, axis=1)
+        reproj.append(e[frames[f].valid])
+    rmse = np.sqrt((np.concatenate(reproj) ** 2).mean())
+    assert rmse < 0.5, f"final reprojection RMSE {rmse:.3f}px"

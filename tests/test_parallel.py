@@ -1,0 +1,106 @@
+"""Mesh-parallel tests on the virtual 8-device CPU mesh (SURVEY.md §4 (d)):
+sharded frontend equivalence and distributed-Schur BA equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_indoor_code_tpu.models import frontend as fe
+from slam_indoor_code_tpu.parallel import ShardedBA, ShardedFrontend, make_mesh
+from slam_indoor_code_tpu.solver import BAConfig, bundle_adjust_window
+from slam_indoor_code_tpu.geometry.rotations import matrix_to_rodrigues
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    return make_mesh((8,), ("batch",))
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.shape["batch"] == 8
+
+
+def test_sharded_frontend_matches_unsharded(mesh, scene):
+    fcfg = fe.FrontendConfig(max_keypoints=256, threshold=20.0,
+                             descriptor="orb", ratio=0.8, metric="hamming")
+    frames = np.stack([scene.render(i) for i in range(8)])
+    sf = ShardedFrontend(mesh, fcfg)
+    rgb = jnp.asarray(frames)
+    res_sh = sf.extract_and_describe_batch(rgb)
+    res_ref = fe.extract_and_describe_batch(fcfg, rgb)
+    np.testing.assert_array_equal(np.asarray(res_sh["valid"]),
+                                  np.asarray(res_ref["valid"]))
+    np.testing.assert_allclose(np.asarray(res_sh["xy"]),
+                               np.asarray(res_ref["xy"]), atol=1e-5)
+
+    prev = fe.extract_and_describe(fcfg, jnp.asarray(scene.render(0)))
+    m_sh = sf.match_against_batch(prev["desc"], prev["valid"],
+                                  res_sh["desc"], res_sh["valid"],
+                                  jnp.ones(8, bool))
+    m_ref = fe.match_against_batch(fcfg, prev["desc"], prev["valid"],
+                                   res_ref["desc"], res_ref["valid"],
+                                   jnp.ones(8, bool))
+    np.testing.assert_array_equal(np.asarray(m_sh["num_matches"]),
+                                  np.asarray(m_ref["num_matches"]))
+
+
+def _ba_problem(scene, rng, F=4, Pn=120):
+    pts_gt = scene.points[:Pn]
+    K4 = np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]],
+                  np.float32)
+    uv = np.zeros((F, Pn, 2), np.float32)
+    idx = np.tile(np.arange(Pn, dtype=np.int32), (F, 1))
+    mask = np.zeros((F, Pn), bool)
+    cams = np.zeros((F, 6), np.float32)
+    for f in range(F):
+        uvf, vis = scene.project(f, noise=0.3, rng=rng)
+        uv[f] = uvf[:Pn]
+        mask[f] = vis[:Pn]
+        aa = np.asarray(matrix_to_rodrigues(jnp.asarray(scene.rotations[f], jnp.float32)))
+        cams[f, :3] = aa + (rng.normal(0, 0.02, 3) if f else 0)
+        cams[f, 3:] = scene.translations[f] + (rng.normal(0, 0.02, 3) if f else 0)
+    pts0 = (pts_gt + rng.normal(0, 0.05, pts_gt.shape)).astype(np.float32)
+    return K4, cams, pts0, uv, idx, mask, np.ones(Pn, bool)
+
+
+def test_sharded_ba_matches_single_device(mesh, scene):
+    rng = np.random.default_rng(77)
+    K4, cams, pts0, uv, idx, mask, pmask = _ba_problem(scene, rng)
+    cfg = BAConfig(loss="huber", loss_param=2.0, max_iters=12)
+
+    K4_s, cams_s, pts_s, info = bundle_adjust_window(
+        cfg, jnp.asarray(K4), jnp.asarray(cams), jnp.asarray(pts0),
+        jnp.asarray(uv), jnp.asarray(idx), jnp.asarray(mask),
+        jnp.asarray(pmask))
+
+    sba = ShardedBA(mesh, cfg, window=4)
+    res = sba.solve(K4, cams, pts0, uv, idx, mask, pmask)
+
+    # distributed solve follows the same LM trajectory up to float reduction
+    # order — poses must agree tightly, cost improvements equally
+    np.testing.assert_allclose(res.cams, np.asarray(cams_s), atol=5e-3)
+    assert res.final_cost < 0.2 * res.initial_cost
+    assert abs(res.final_cost - float(info["final_cost"])) / float(info["final_cost"]) < 0.05
+    # landmark back-substitution returns points in original order; the two
+    # LM trajectories differ in float reduction order so individual points
+    # wander within the triangulation noise floor
+    np.testing.assert_allclose(res.points, np.asarray(pts_s), atol=0.15)
+    assert np.median(np.linalg.norm(res.points - np.asarray(pts_s), axis=1)) < 0.05
+
+
+def test_sharded_ba_improves_poses(mesh, scene):
+    rng = np.random.default_rng(78)
+    K4, cams, pts0, uv, idx, mask, pmask = _ba_problem(scene, rng)
+    cfg = BAConfig(loss="trivial", max_iters=15)
+    sba = ShardedBA(mesh, cfg, window=4)
+    res = sba.solve(K4, cams, pts0, uv, idx, mask, pmask)
+    from slam_indoor_code_tpu.geometry.rotations import rodrigues_to_matrix
+
+    for f in range(1, 4):
+        R = np.asarray(rodrigues_to_matrix(jnp.asarray(res.cams[f, :3],
+                                                       jnp.float32)))
+        Rerr = R @ scene.rotations[f].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rerr) - 1) / 2, -1, 1)))
+        assert ang < 0.3
