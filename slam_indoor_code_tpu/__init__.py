@@ -43,6 +43,23 @@ if _os.environ.get("SLAM_TPU_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["SLAM_TPU_PLATFORM"])
 
+if not _os.environ.get("SLAM_TPU_NO_COMPILE_CACHE"):
+    # Persistent compilation cache: the fused pipeline programs take minutes
+    # to compile through a remote-compile TPU tunnel; cache them across
+    # processes (SLAM_TPU_CACHE_DIR overrides the location).
+    import jax as _jax
+
+    _cache = _os.environ.get(
+        "SLAM_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 if not _os.environ.get("SLAM_TPU_NO_PRECISION_OVERRIDE"):
     # TPU matmuls default to bfloat16 accumulation, which is far too coarse
     # for multiview geometry (SVD/eigh nullspaces, pose chains).  Pin float32

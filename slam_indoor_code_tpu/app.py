@@ -48,7 +48,15 @@ def slam_main(cfg: Config, K: np.ndarray, frames=None, seed: int = 0) -> GlobalD
 
     ``frames``: optional in-memory frame list (tests/bench); otherwise media
     comes from the config.  Returns the accumulated GlobalData and writes the
-    reference-format txt logs to cfg.outputDataDir."""
+    reference-format txt logs to cfg.outputDataDir.
+
+    Two execution paths with identical semantics:
+    - device-resident engine (default): all state on the accelerator, one
+      tiny status download per frame — the performance path;
+    - classic host conductor (tpu.device_runtime=false): the readable
+      reference implementation."""
+    if cfg.tpu.device_runtime:
+        return _slam_main_device(cfg, K, frames=frames, seed=seed)
     timer = ChronoTimer()
     logs = LogStreams(cfg.outputDataDir)
     media = make_media(cfg, frames)
@@ -90,6 +98,45 @@ def slam_main(cfg: Config, K: np.ndarray, frames=None, seed: int = 0) -> GlobalD
     global_data.colors = cols.astype(np.float64)
     logs.write_map(pts, cols)
 
+    if global_data.empty:
+        logs.main.write("Couldn't process image sequence. Too little data.\n")
+    timer.print_start_delta("Whole time: ", logs.time)
+    logs.close()
+    return global_data
+
+
+def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
+                      seed: int = 0) -> GlobalData:
+    """slam_main on the device-resident runtime (runtime/engine.py)."""
+    from .runtime import DeviceEngine, EngineConfig
+
+    timer = ChronoTimer()
+    logs = LogStreams(cfg.outputDataDir)
+    media = make_media(cfg, frames)
+    ecfg = EngineConfig.from_config(cfg)
+    engine = DeviceEngine(
+        media, K, ecfg,
+        batch_size=cfg.framesBatchSize,
+        required_extracted=cfg.requiredExtractedPointsCount,
+        logs=logs, seed=seed,
+    )
+
+    global_data = GlobalData()
+    init_R, init_t = np.eye(3), np.zeros(3)
+    while True:
+        logs.main.write("Launching main cycle...\n")
+        result = engine.run(init_R, init_t)
+        global_data.extend(result["global_data"])
+        if result["status"] != "interrupted" or result["last_pose"] is None:
+            break
+        init_R, init_t = result["last_pose"]
+        if engine.media_exhausted:
+            break
+
+    pts, cols = engine.snapshot_map()
+    global_data.points = pts
+    global_data.colors = cols.astype(np.float64)
+    logs.write_map(pts, cols)
     if global_data.empty:
         logs.main.write("Couldn't process image sequence. Too little data.\n")
     timer.print_start_delta("Whole time: ", logs.time)

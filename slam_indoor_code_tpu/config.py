@@ -166,6 +166,7 @@ class TpuConfig:
     max_map_points: int = 1 << 18   # global map arena capacity
     window_points: int = 1 << 14    # per-BA-window observed-point capacity
     use_pallas: bool = True         # Pallas fast paths (falls back to jnp off-TPU)
+    device_runtime: bool = True     # device-resident engine (False = classic host conductor)
     mesh_shape: tuple = ()          # () = single device; e.g. (2, 4) hosts×chips
     dtype: str = "float32"          # compute dtype for geometry (descriptors bf16-able)
 

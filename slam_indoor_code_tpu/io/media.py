@@ -31,7 +31,15 @@ def natural_sort_paths(paths: list[str]) -> list[str]:
 
 
 def _imread_rgb(path: str) -> Optional[np.ndarray]:
-    """Decode one image to HxWx3 uint8 RGB (host-side; not a TPU op)."""
+    """Decode one image to HxWx3 uint8 RGB (host-side; not a TPU op).
+
+    Prefers the native libjpeg/libpng decoder (native/slamio.cpp)."""
+    from . import native
+
+    if native.available():
+        img = native.imread_rgb(path)
+        if img is not None:
+            return img
     try:
         import cv2
 
@@ -61,9 +69,17 @@ class MediaSource:
     ):
         self.use_photos = use_photos
         self._video = None
+        self._native = None
         self._paths: list[str] = []
         if use_photos:
             self._paths = natural_sort_paths(_glob.glob(photos_pattern))
+            from . import native
+
+            if native.available() and self._paths:
+                # native prefetching decoder (no python thread needed)
+                self._native = native.NativeSequence(
+                    self._paths, capacity=max(1, prefetch), threads=2)
+                return
         else:
             import cv2
 
@@ -93,6 +109,8 @@ class MediaSource:
     def next_frame(self) -> Optional[np.ndarray]:
         """Pop the next frame, or None when the sequence is over (reference:
         ``getNextFrame`` returning false, mainCycleInternals.cpp:107-119)."""
+        if self._native is not None:
+            return self._native.next_frame()
         item = self._queue.get()
         if item is self._done:
             self._queue.put(self._done)  # keep signalling exhaustion

@@ -1,0 +1,306 @@
+"""Host conductor for the device-resident runtime.
+
+Python owns only control flow and slot bookkeeping; every array lives on the
+device.  Per accepted frame: one ``match_select`` + one ``track_step``
+dispatch and a single ~100-byte status download.  Ring-slot management mirrors
+the reference's batch semantics (fill to framesBatchSize, consume head..good,
+carry the tail — batch.cpp:228-267, :93-98).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..io.logs import GlobalData, LogStreams
+from ..utils.timer import ChronoTimer
+from .state import EngineConfig, TrackerState, init_state
+from . import steps
+
+EMPTY_BATCH = -1
+FRAME_NOT_FOUND = -2
+
+
+class DeviceEngine:
+    def __init__(self, media, K: np.ndarray, cfg: EngineConfig,
+                 batch_size: int, required_extracted: int,
+                 logs: LogStreams | None = None, seed: int = 0):
+        self.media = media
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.required_extracted = required_extracted
+        self.logs = logs
+        self.state = init_state(K, cfg)
+        self._key = jax.random.PRNGKey(seed)
+        self._free = list(range(cfg.ring))
+        self.batch: list[int] = []      # ring slots in batch order (head first)
+        self._media_over = False
+        self._win_fill = 0
+        self.trajectory_R: list[np.ndarray] = []   # flushed (post-BA) poses
+        self.trajectory_t: list[np.ndarray] = []
+        self._pending_poses = 0  # accepted frames not yet flushed
+        self.frames_accepted = 0
+
+    # ------------------------------------------------------------- plumbing
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _log_pose(self, R: np.ndarray, t: np.ndarray):
+        if self.logs:
+            self.logs.write_pose(np.asarray(R, np.float64).reshape(3, 3),
+                                 np.asarray(t, np.float64).reshape(3))
+
+    @staticmethod
+    def _unpack(out: np.ndarray):
+        ok, n_corr, n_inl, n_new, n_matches = out[:5]
+        R = out[5:14].reshape(3, 3)
+        t = out[14:17]
+        return bool(ok > 0.5), int(n_corr), int(n_inl), int(n_new), int(n_matches), R, t
+
+    # ------------------------------------------------------------------ fill
+    def fill(self) -> None:
+        C = self.cfg.fill_chunk
+        while (len(self.batch) < self.batch_size and not self._media_over
+               and len(self._free) >= C):
+            chunk = []
+            while len(chunk) < C:
+                f = self.media.next_frame()
+                if f is None:
+                    self._media_over = True
+                    break
+                chunk.append(f)
+            if not chunk:
+                break
+            n = len(chunk)
+            pad = C - n
+            stacked = np.stack(chunk + [chunk[-1]] * pad)
+            slots = np.array(self._free[:C], np.int32)  # padded writes land
+            # in soon-to-be-reused slots; only the first n are admitted
+            self.state, counts = steps.ingest(
+                self.cfg, self.state, jnp.asarray(stacked), jnp.asarray(slots))
+            counts = np.asarray(counts)[:n]
+            taken = []
+            for i in range(n):
+                if counts[i] >= self.required_extracted:
+                    taken.append(int(slots[i]))
+                    self.batch.append(int(slots[i]))
+            # compact free list: remove slots now in batch
+            self._free = [s for s in self._free if s not in set(taken)]
+            if self.logs:
+                self.logs.main.write(
+                    "Features count in frames added to batch: "
+                    + " ".join(str(int(c)) for c in counts if c >= self.required_extracted)
+                    + f"\nBatch size: {len(self.batch)}\n")
+
+    def _consume_through(self, pos: int) -> int:
+        """Free ring slots head..pos, return the chosen slot."""
+        chosen = self.batch[pos]
+        for s in self.batch[: pos + 1]:
+            if s != chosen:
+                self._free.append(s)
+        self.batch = self.batch[pos + 1 :]
+        return chosen
+
+    def _release(self, slot: int) -> None:
+        self._free.append(slot)
+
+    # ------------------------------------------------------------ main cycle
+    def _find_first_good_frame(self, init_R, init_t) -> bool:
+        if self.batch:
+            slot = self._consume_through(0)
+            self.state = steps.set_prev_from_slot(
+                self.cfg, self.state, jnp.asarray(slot, jnp.int32),
+                jnp.asarray(init_R, jnp.float32), jnp.asarray(init_t, jnp.float32))
+            self._release(slot)
+            return True
+        C = self.cfg.fill_chunk
+        while not self._media_over:
+            chunk = []
+            while len(chunk) < C:
+                f = self.media.next_frame()
+                if f is None:
+                    self._media_over = True
+                    break
+                chunk.append(f)
+            if not chunk:
+                return False
+            pad = C - len(chunk)
+            stacked = np.stack(chunk + [chunk[-1]] * pad)
+            slots = np.array(self._free[:C], np.int32)
+            self.state, counts = steps.ingest(
+                self.cfg, self.state, jnp.asarray(stacked), jnp.asarray(slots))
+            counts = np.asarray(counts)[: len(chunk)]
+            good = np.flatnonzero(counts >= self.required_extracted)
+            if len(good) == 0:
+                continue
+            first = int(slots[good[0]])
+            self.state = steps.set_prev_from_slot(
+                self.cfg, self.state, jnp.asarray(first, jnp.int32),
+                jnp.asarray(init_R, jnp.float32), jnp.asarray(init_t, jnp.float32))
+            # later passing frames in the chunk join the batch
+            for g in good[1:]:
+                s = int(slots[g])
+                self.batch.append(s)
+                self._free.remove(s)
+            return True
+        return False
+
+    def _match_select(self):
+        B = self.batch_size + self.cfg.fill_chunk
+        order = np.zeros(B, np.int32)
+        mask = np.zeros(B, bool)
+        n = min(len(self.batch), B)
+        order[:n] = self.batch[:n]
+        mask[:n] = True
+        train_all, mask_all, info, counts = steps.match_select(
+            self.cfg, self.state, jnp.asarray(order), jnp.asarray(mask))
+        info = np.asarray(info)
+        if self.logs:
+            cc = np.asarray(counts)[:n]
+            for bi in range(n - 1, self.cfg.skip_from_head - 1, -1):
+                self.logs.main.write(
+                    f"Batch index: {bi}; matched {int(cc[bi])}\n")
+        return train_all, mask_all, int(info[0]), int(info[1])
+
+    def _bootstrap(self, init_R, init_t) -> bool:
+        if not self._find_first_good_frame(init_R, init_t):
+            return False
+        while True:
+            self.fill()
+            if not self.batch:
+                return False
+            train_all, mask_all, found, pos = self._match_select()
+            if not found:
+                # promote batch head to first frame (mainCycle.cpp:299-315)
+                slot = self._consume_through(0)
+                self.state = steps.set_prev_from_slot(
+                    self.cfg, self.state, jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(init_R, jnp.float32),
+                    jnp.asarray(init_t, jnp.float32))
+                self._release(slot)
+                continue
+            slot = self._consume_through(pos)
+            train = train_all[pos]
+            mask = mask_all[pos]
+            self.state, out = steps.bootstrap_step(
+                self.cfg, self.state, jnp.asarray(slot, jnp.int32),
+                train, mask, self._next_key())
+            self._release(slot)
+            ok, chir, n_pass, n_new, n_matches, R2, t2 = self._unpack(np.asarray(out))
+            if self.logs:
+                self.logs.main.write(
+                    f"Points passed chirality check count: {chir}\n")
+            self._log_pose(np.asarray(init_R), np.asarray(init_t))
+            self._log_pose(R2, t2)
+            self.trajectory_R.extend([np.asarray(init_R, np.float64), R2])
+            self.trajectory_t.extend([np.asarray(init_t, np.float64), t2])
+            self._win_fill = 2
+            self.frames_accepted += 2
+            return True
+
+    def _flush_window(self, gd: GlobalData, timer: ChronoTimer):
+        """BA (if enabled) then move window poses to the trajectory
+        (moveProcessedDataToGlobalStruct semantics)."""
+        if self._win_fill == 0:
+            return
+        if self.cfg.use_ba and self._win_fill >= 2:
+            self.state, out = steps.ba_step(
+                self.cfg, self.state, jnp.asarray(self._win_fill, jnp.int32))
+            cams = np.asarray(out["cams"], np.float64)
+            rmse = np.asarray(out["rmse"])
+            if self.logs:
+                self.logs.main.write(
+                    "Bundle Adjustment statistics (approximated RMSE):\n"
+                    f" #residuals: {int(np.asarray(out['num_residuals']))}\n"
+                    f" Initial RMSE: {rmse[0]:.6f}\n"
+                    f" Final RMSE: {rmse[1]:.6f}\n")
+                timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
+                timer.update_last_point()
+            from ..geometry.rotations import rodrigues_to_matrix
+
+            for i in range(self._win_fill):
+                R = np.asarray(rodrigues_to_matrix(
+                    jnp.asarray(cams[i, :3], jnp.float32)), np.float64)
+                gd.append_cameras(R[None], cams[i, 3:][None])
+        else:
+            # no BA: poses were logged at acceptance; replay from logs-side
+            # cache kept on host
+            for R, t in zip(self.trajectory_R[-self._win_fill:],
+                            self.trajectory_t[-self._win_fill:]):
+                gd.append_cameras(np.asarray(R)[None], np.asarray(t)[None])
+        self._win_fill = 0
+
+    def run(self, init_R=None, init_t=None) -> dict:
+        timer = ChronoTimer()
+        init_R = np.eye(3) if init_R is None else init_R
+        init_t = np.zeros(3) if init_t is None else init_t
+        gd = GlobalData()
+        self.trajectory_R, self.trajectory_t = [], []
+
+        if not self._bootstrap(init_R, init_t):
+            return {"status": "no_data", "global_data": gd,
+                    "frames_accepted": 0, "last_pose": None}
+        status = "interrupted"
+        while True:
+            self.fill()
+            if not self.batch:
+                status = "video_over"
+                break
+            train_all, mask_all, found, pos = self._match_select()
+            if not found:
+                if self.logs:
+                    self.logs.main.write(
+                        "No good frames in batch. Interrupt video processing\n")
+                status = "interrupted"
+                break
+            slot = self._consume_through(pos)
+            if self._win_fill >= self.cfg.window:
+                self._flush_window(gd, timer)
+            self.state, out = steps.track_step(
+                self.cfg, self.state, jnp.asarray(slot, jnp.int32),
+                train_all, mask_all, jnp.asarray(pos, jnp.int32),
+                jnp.asarray(self._win_fill, jnp.int32), self._next_key())
+            self._release(slot)
+            ok, n_corr, n_inl, n_new, n_matches, R, t = self._unpack(np.asarray(out))
+            if not ok:
+                if self.logs:
+                    self.logs.main.write(
+                        "Not enough corresponding points for solvePnP RANSAC\n")
+                status = "interrupted"
+                break
+            if self.logs:
+                self.logs.main.write(f"Used in solvePnP: {n_corr}\n")
+                timer.print_last_point_delta("Tracking step: ", self.logs.time)
+                timer.update_last_point()
+            self._log_pose(R, t)
+            self.trajectory_R.append(R)
+            self.trajectory_t.append(t)
+            self._win_fill += 1
+            self.frames_accepted += 1
+
+        self._flush_window(gd, timer)
+        last_pose = None
+        if len(self.trajectory_R):
+            last_pose = (self.trajectory_R[-1], self.trajectory_t[-1])
+        return {"status": status, "global_data": gd,
+                "frames_accepted": self.frames_accepted, "last_pose": last_pose}
+
+    # ----------------------------------------------------------- final data
+    def snapshot_map(self) -> tuple[np.ndarray, np.ndarray]:
+        """One bulk download of the reconstructed map at end of run."""
+        n = int(np.asarray(self.state.map_count))
+        pts = np.asarray(self.state.map_points[:n], np.float64)
+        cols = np.clip(np.asarray(self.state.map_colors[:n]), 0, 255).astype(np.uint8)
+        return pts, cols
+
+    @property
+    def K_host(self) -> np.ndarray:
+        K4 = np.asarray(self.state.K4, np.float64)
+        return np.array([[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1.0]])
+
+    @property
+    def media_exhausted(self) -> bool:
+        return self._media_over and not self.batch

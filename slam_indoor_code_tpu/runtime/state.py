@@ -1,0 +1,143 @@
+"""Device-resident tracker state: one pytree holding the whole pipeline.
+
+Fixed capacities (EngineConfig) make every array static-shape:
+  K  keypoint slots per frame          R  candidate-ring slots
+  P  map-arena landmark capacity       F  BA window frames
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static (hashable, shape-defining) runtime parameters.  One compile per
+    distinct config — every threshold that could stay dynamic is folded in
+    here for simplicity; re-jit on config change is the intended behaviour."""
+
+    # shapes
+    max_keypoints: int = 2048
+    ring: int = 40               # candidate ring slots ≥ framesBatchSize + chunk
+    map_cap: int = 1 << 18
+    window: int = 8              # BAMaxFramesCnt
+    window_points: int = 1 << 14
+    fill_chunk: int = 8
+    # frontend
+    threshold: float = 20.0
+    descriptor: str = "sift"
+    ratio: float = 0.7
+    metric: str = "l2"
+    # scheduler rule
+    required_matched: int = 100
+    skip_from_head: int = 0
+    use_first_fit: bool = False
+    # geometry
+    use_ransac: bool = True
+    ransac_threshold: float = 1.0
+    distance_threshold: float = 50.0
+    ransac_iters: int = 1024
+    pnp_iters: int = 256
+    reproj_gate_px: float = 8.0
+    # BA
+    use_ba: bool = False
+    ba_loss: str = "huber"
+    ba_loss_param: float = 1.0
+    ba_iters: int = 25
+
+    @property
+    def desc_dim(self) -> int:
+        return 8 if self.descriptor == "orb" else 128
+
+    @property
+    def desc_dtype(self):
+        return jnp.uint32 if self.descriptor == "orb" else jnp.float32
+
+    @staticmethod
+    def from_config(cfg) -> "EngineConfig":
+        loss, param = cfg.ba_loss
+        return EngineConfig(
+            max_keypoints=cfg.tpu.max_keypoints,
+            ring=cfg.framesBatchSize + 8,
+            map_cap=cfg.tpu.max_map_points,
+            window=cfg.BAMaxFramesCnt,
+            window_points=cfg.tpu.window_points,
+            threshold=float(cfg.featureExtractingThreshold),
+            descriptor=cfg.descriptor_kind,
+            ratio=float(cfg.knnMatcherDistance),
+            metric=cfg.match_metric,
+            required_matched=cfg.requiredMatchedPointsCount,
+            skip_from_head=cfg.skipFramesFromBatchHead,
+            use_first_fit=cfg.useFirstFitInBatch,
+            use_ransac=cfg.RPUseRANSAC,
+            ransac_threshold=float(cfg.RPRANSACThreshold),
+            distance_threshold=float(cfg.RPDistanceThreshold),
+            ransac_iters=cfg.tpu.ransac_iters,
+            pnp_iters=cfg.tpu.pnp_ransac_iters,
+            use_ba=cfg.useBundleAdjustment,
+            ba_loss=loss,
+            ba_loss_param=float(param),
+            ba_iters=cfg.tpu.ba_max_iters,
+        )
+
+
+class TrackerState(NamedTuple):
+    # shared intrinsics (BA adjusts these in place, like the reference's
+    # calibrationMatrix write-back)
+    K4: jnp.ndarray           # [4] fx, fy, cx, cy
+
+    # global map arena (device twin of pipeline.structures.MapArena)
+    map_points: jnp.ndarray   # [P,3] f32
+    map_colors: jnp.ndarray   # [P,3] f32 (0-255)
+    map_count: jnp.ndarray    # () i32
+
+    # previous accepted frame
+    prev_xy: jnp.ndarray      # [K,2]
+    prev_valid: jnp.ndarray   # [K] bool
+    prev_desc: jnp.ndarray    # [K,D]
+    prev_corr: jnp.ndarray    # [K] i32 (-1 = unbound)
+    pose_R: jnp.ndarray       # [3,3] world→camera of prev frame
+    pose_t: jnp.ndarray       # [3]
+
+    # candidate-frame ring buffer (filled by ingest, consumed by select)
+    ring_xy: jnp.ndarray      # [R,K,2]
+    ring_valid: jnp.ndarray   # [R,K] bool
+    ring_desc: jnp.ndarray    # [R,K,D]
+    ring_colors: jnp.ndarray  # [R,K,3] f32
+
+    # BA window (accepted frames since last flush)
+    win_xy: jnp.ndarray       # [F,K,2]
+    win_corr: jnp.ndarray     # [F,K] i32
+    win_cams: jnp.ndarray     # [F,6] angle-axis+t
+    win_used: jnp.ndarray     # [F] bool
+
+
+def init_state(K: np.ndarray, cfg: EngineConfig) -> TrackerState:
+    k, desc_dim, desc_dtype = cfg.max_keypoints, cfg.desc_dim, cfg.desc_dtype
+    ring, map_cap, window = cfg.ring, cfg.map_cap, cfg.window
+    f32 = jnp.float32
+    K = np.asarray(K, np.float64)
+    return TrackerState(
+        K4=jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], f32),
+        map_points=jnp.zeros((map_cap, 3), f32),
+        map_colors=jnp.zeros((map_cap, 3), f32),
+        map_count=jnp.zeros((), jnp.int32),
+        prev_xy=jnp.zeros((k, 2), f32),
+        prev_valid=jnp.zeros((k,), bool),
+        prev_desc=jnp.zeros((k, desc_dim), desc_dtype),
+        prev_corr=jnp.full((k,), -1, jnp.int32),
+        pose_R=jnp.eye(3, dtype=f32),
+        pose_t=jnp.zeros((3,), f32),
+        ring_xy=jnp.zeros((ring, k, 2), f32),
+        ring_valid=jnp.zeros((ring, k), bool),
+        ring_desc=jnp.zeros((ring, k, desc_dim), desc_dtype),
+        ring_colors=jnp.zeros((ring, k, 3), f32),
+        win_xy=jnp.zeros((window, k, 2), f32),
+        win_corr=jnp.full((window, k), -1, jnp.int32),
+        win_cams=jnp.zeros((window, 6), f32),
+        win_used=jnp.zeros((window,), bool),
+    )

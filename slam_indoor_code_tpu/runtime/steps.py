@@ -1,0 +1,345 @@
+"""Fused jitted step functions over the device-resident TrackerState.
+
+Each public function is one device dispatch; outputs that the host needs are
+packed into small vectors so every frame costs exactly one tiny download.
+The pipeline semantics mirror pipeline/main_cycle.py (and through it the
+reference's mainCycle.cpp) — see that module for the reference citations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    compose_with_world,
+    estimate_transformation,
+    reconstruct,
+    solve_pnp_ransac,
+)
+from ..geometry.rotations import matrix_to_rodrigues, rodrigues_to_matrix
+from ..models import frontend as fe
+from ..solver.ba import BAConfig, bundle_adjust_window
+from .state import EngineConfig, TrackerState
+
+
+def _K_matrix(K4: jnp.ndarray) -> jnp.ndarray:
+    fx, fy, cx, cy = K4[0], K4[1], K4[2], K4[3]
+    z = jnp.zeros((), K4.dtype)
+    o = jnp.ones((), K4.dtype)
+    return jnp.stack([
+        jnp.stack([fx, z, cx]),
+        jnp.stack([z, fy, cy]),
+        jnp.stack([z, z, o]),
+    ])
+
+
+def _frontend_cfg(cfg: EngineConfig) -> fe.FrontendConfig:
+    return fe.FrontendConfig(
+        max_keypoints=cfg.max_keypoints, threshold=cfg.threshold,
+        descriptor=cfg.descriptor, ratio=cfg.ratio, metric=cfg.metric,
+    )
+
+
+# ---------------------------------------------------------------- ingest
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def ingest(cfg: EngineConfig, state: TrackerState, rgb: jnp.ndarray,
+           slots: jnp.ndarray):
+    """Extract+describe a decoded chunk [C,H,W,3] and write it into ring
+    slots [C].  Returns (state, num_corners [C])."""
+    fcfg = _frontend_cfg(cfg)
+    res = fe.extract_and_describe_batch(fcfg, rgb)
+    state = state._replace(
+        ring_xy=state.ring_xy.at[slots].set(res["xy"]),
+        ring_valid=state.ring_valid.at[slots].set(res["valid"]),
+        ring_desc=state.ring_desc.at[slots].set(res["desc"]),
+        ring_colors=state.ring_colors.at[slots].set(
+            res["colors"].astype(jnp.float32)),
+    )
+    return state, res["num_corners"].astype(jnp.int32)
+
+
+# ------------------------------------------------------------- set prev
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def set_prev_from_slot(cfg: EngineConfig, state: TrackerState,
+                       slot: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
+    """Promote a ring slot to the previous/reference frame (bootstrap first
+    frame or head-promotion fallback), with pose (R,t)."""
+    return state._replace(
+        prev_xy=state.ring_xy[slot],
+        prev_valid=state.ring_valid[slot],
+        prev_desc=state.ring_desc[slot],
+        prev_corr=jnp.full_like(state.prev_corr, -1),
+        pose_R=R.astype(jnp.float32),
+        pose_t=t.astype(jnp.float32),
+    )
+
+
+# ----------------------------------------------------------- match+select
+@partial(jax.jit, static_argnames=("cfg",))
+def match_select(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
+                 order_mask: jnp.ndarray):
+    """Match prev frame against the ring slots listed in ``order`` [B] (head
+    first) and apply the good-frame rule (batch.cpp:120-148 semantics).
+
+    Returns (train_all [B,K] device, mask_all [B,K] device,
+             info = [found, good_pos, count_of_good] i32, counts [B] i32)."""
+    fcfg = _frontend_cfg(cfg)
+    desc_b = state.ring_desc[order]
+    valid_b = state.ring_valid[order]
+    res = fe.match_against_batch(
+        fcfg, state.prev_desc, state.prev_valid, desc_b, valid_b, order_mask
+    )
+    counts = res["num_matches"].astype(jnp.int32)
+    B = counts.shape[0]
+    pos = jnp.arange(B, dtype=jnp.int32)
+    eligible = (pos >= cfg.skip_from_head) & order_mask & (
+        counts >= cfg.required_matched)
+    any_ok = eligible.any()
+    if cfg.use_first_fit:
+        # tail-most fitting frame
+        good = jnp.max(jnp.where(eligible, pos, -1))
+    else:
+        best = jnp.max(jnp.where(eligible, counts, -1))
+        # head-most index achieving the max
+        good = jnp.argmax(jnp.where(eligible, counts, -1) == best).astype(jnp.int32)
+    good = jnp.where(any_ok, good, -1)
+    info = jnp.stack([
+        any_ok.astype(jnp.int32), good.astype(jnp.int32),
+        jnp.where(any_ok, counts[jnp.maximum(good, 0)], 0),
+    ])
+    return res["train_idx"], res["is_match"], info, counts
+
+
+# --------------------------------------------------------------- helpers
+def _verify_gates(cfg, K, Rp, tp, Rn, tn, X, uv1, uv2):
+    """Map-hygiene gates in device form (see MainCycle._verify_points)."""
+
+    def reproj(R, t, uv):
+        Xc = X @ R.T + t
+        z = Xc[:, 2]
+        pix = Xc @ K.T
+        safe = jnp.where(jnp.abs(pix[:, 2:3]) < 1e-9, 1e-9, pix[:, 2:3])
+        e = jnp.linalg.norm(pix[:, :2] / safe - uv, axis=1)
+        return e, z
+
+    e1, z1 = reproj(Rp, tp, uv1)
+    e2, z2 = reproj(Rn, tn, uv2)
+    g = cfg.reproj_gate_px
+    return (e1 < g) & (e2 < g) & (z1 > 0) & (z2 > 0)
+
+
+def _append_points(state: TrackerState, pts, colors, add_mask):
+    """Scatter-append masked points; returns (state, ids [K], n_added)."""
+    order = jnp.cumsum(add_mask.astype(jnp.int32)) - 1
+    ids = state.map_count + order
+    P = state.map_points.shape[0]
+    ok = add_mask & (ids < P)
+    idx = jnp.where(ok, ids, P)  # P = out-of-bounds → dropped
+    return (
+        state._replace(
+            map_points=state.map_points.at[idx].set(pts, mode="drop"),
+            map_colors=state.map_colors.at[idx].set(colors, mode="drop"),
+            map_count=state.map_count + ok.sum(dtype=jnp.int32),
+        ),
+        jnp.where(ok, ids, -1),
+        ok.sum(dtype=jnp.int32),
+    )
+
+
+def _pose_out(ok, n_corr, n_inl, n_new, n_matches, R, t):
+    head = jnp.stack([
+        ok.astype(jnp.float32), n_corr.astype(jnp.float32),
+        n_inl.astype(jnp.float32), n_new.astype(jnp.float32),
+        n_matches.astype(jnp.float32),
+    ])
+    return jnp.concatenate([head, R.reshape(-1), t])
+
+
+# -------------------------------------------------------------- bootstrap
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
+                   train: jnp.ndarray, mask: jnp.ndarray, key):
+    """First-pair processing: essential-RANSAC pose + chirality filter +
+    triangulation + landmark creation (processingFirstPairFrames /
+    defineFeaturesCorrespondSpatialIndices).  The first frame is
+    ``state.prev_*`` with pose (state.pose_R, state.pose_t)."""
+    K = _K_matrix(state.K4)
+    new_xy = state.ring_xy[slot]
+    train_s = jnp.where(mask, train, 0)
+    uv1 = state.prev_xy
+    uv2 = new_xy[train_s]
+
+    pose = estimate_transformation(
+        key, K, uv1, uv2, mask,
+        use_ransac=cfg.use_ransac, threshold_px=cfg.ransac_threshold,
+        distance_threshold=cfg.distance_threshold,
+        num_hypotheses=cfg.ransac_iters,
+    )
+    chir = pose["chirality_mask"]
+    R2, t2 = compose_with_world(state.pose_R, state.pose_t, pose["R"], pose["t"])
+
+    X = reconstruct(K, state.pose_R, state.pose_t, R2, t2, uv1, uv2, chir)
+    colors = state.ring_colors[slot][train_s]
+    state, ids, n_new = _append_points(state, X, colors, chir)
+
+    K_slots = uv1.shape[0]
+    q = jnp.arange(K_slots)
+    first_corr = jnp.full((K_slots,), -1, jnp.int32).at[q].set(
+        jnp.where(chir, ids, -1))
+    second_corr = jnp.full((K_slots,), -1, jnp.int32).at[
+        jnp.where(chir, train_s, K_slots)
+    ].set(jnp.where(chir, ids, -1), mode="drop")
+
+    aa1 = matrix_to_rodrigues(state.pose_R)
+    aa2 = matrix_to_rodrigues(R2)
+    win_xy = state.win_xy.at[0].set(uv1).at[1].set(new_xy)
+    win_corr = state.win_corr.at[0].set(first_corr).at[1].set(second_corr)
+    win_cams = state.win_cams.at[0].set(
+        jnp.concatenate([aa1, state.pose_t])).at[1].set(
+        jnp.concatenate([aa2, t2]))
+    win_used = state.win_used.at[0].set(True).at[1].set(True)
+
+    state = state._replace(
+        prev_xy=new_xy,
+        prev_valid=state.ring_valid[slot],
+        prev_desc=state.ring_desc[slot],
+        prev_corr=second_corr,
+        pose_R=R2,
+        pose_t=t2,
+        win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
+    )
+    out = _pose_out(jnp.asarray(True), chir.sum(), pose["num_passed"],
+                    n_new, mask.sum(), R2, t2)
+    return state, out
+
+
+# ------------------------------------------------------------- track step
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def track_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
+               train_all: jnp.ndarray, mask_all: jnp.ndarray,
+               good_pos: jnp.ndarray, win_pos: jnp.ndarray, key):
+    """Accept the chosen candidate: PnP pose, triangulate, verified map
+    merge, window bookkeeping (mainCycle.cpp:111-219).  All state updates are
+    gated on ok = enough PnP correspondences, so a failed frame leaves the
+    state untouched (the host then breaks, mirroring the reference)."""
+    K = _K_matrix(state.K4)
+    train = train_all[good_pos]
+    mask = mask_all[good_pos]
+    new_xy = state.ring_xy[slot]
+    new_valid = state.ring_valid[slot]
+    new_desc = state.ring_desc[slot]
+    train_s = jnp.where(mask, train, 0)
+
+    # 3D↔2D harvest (getOldSpatialPointsAndNewFrameFeatureCoords)
+    struct = jnp.where(mask, state.prev_corr, -1)
+    pm = struct >= 0
+    Xh = state.map_points[jnp.where(pm, struct, 0)]
+    uvh = new_xy[train_s]
+    n_corr = pm.sum(dtype=jnp.int32)
+    ok = n_corr >= 4
+
+    pnp = solve_pnp_ransac(key, K, Xh, uvh, pm, num_hypotheses=cfg.pnp_iters,
+                           reproj_threshold_px=cfg.reproj_gate_px)
+    Rn, tn = pnp["R"], pnp["t"]
+
+    # triangulate all matches vs prev frame
+    uv1 = state.prev_xy
+    uv2 = uvh
+    X = reconstruct(K, state.pose_R, state.pose_t, Rn, tn, uv1, uv2, mask)
+    verified = _verify_gates(cfg, K, state.pose_R, state.pose_t, Rn, tn,
+                             X, uv1, uv2)
+
+    # existing-binding re-verification before propagation
+    e_old, z_old = (lambda Xc: (jnp.linalg.norm(
+        (Xc @ K.T)[:, :2] / jnp.maximum(jnp.abs((Xc @ K.T)[:, 2:3]), 1e-9)
+        - uv2, axis=1), Xc[:, 2]))(Xh @ Rn.T + tn)
+    prop_ok = (e_old < cfg.reproj_gate_px) & (z_old > 0)
+
+    add_mask = mask & (state.prev_corr < 0) & verified & ok
+    colors = state.ring_colors[slot][train_s]
+    state2, ids, n_new = _append_points(state, X, colors, add_mask)
+
+    K_slots = uv1.shape[0]
+    is_old = mask & (state.prev_corr >= 0) & prop_ok
+    new_corr = jnp.full((K_slots,), -1, jnp.int32)
+    new_corr = new_corr.at[jnp.where(is_old, train_s, K_slots)].set(
+        jnp.where(is_old, state.prev_corr, -1), mode="drop")
+    new_corr = new_corr.at[jnp.where(add_mask, train_s, K_slots)].set(
+        ids, mode="drop")
+    # prev_corr gains the fresh ids too (pushNewSpatialPoints mutates both)
+    prev_corr2 = jnp.where(add_mask, ids, state.prev_corr)
+
+    aa = matrix_to_rodrigues(Rn)
+    win_xy = state2.win_xy.at[win_pos].set(new_xy)
+    win_corr = state2.win_corr.at[win_pos].set(new_corr)
+    win_cams = state2.win_cams.at[win_pos].set(jnp.concatenate([aa, tn]))
+    win_used = state2.win_used.at[win_pos].set(True)
+
+    def _sel(new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+
+    accepted = state2._replace(
+        prev_xy=new_xy, prev_valid=new_valid, prev_desc=new_desc,
+        prev_corr=new_corr, pose_R=Rn, pose_t=tn,
+        win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
+    )
+    # note: _append_points already ran on state→state2; gate the whole state
+    state_out = _sel(accepted, state)
+
+    out = _pose_out(ok, n_corr, pnp["num_inliers"], n_new, mask.sum(), Rn, tn)
+    return state_out, out
+
+
+# ----------------------------------------------------------------- BA step
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
+    """Windowed BA over the device-resident window + map arena, then window
+    reset and pose resync (mainCycle.cpp:201-210 semantics: BA adjusts the
+    shared intrinsics, window poses, and observed landmarks in place)."""
+    F = cfg.window
+    Pw = cfg.window_points
+    BIG = jnp.int32(2**30)
+
+    corr = jnp.where(state.win_used[:, None], state.win_corr, -1)
+    obs_mask = corr >= 0
+    sentinel = jnp.where(obs_mask, corr, BIG)
+    uids = jnp.unique(sentinel.reshape(-1), size=Pw, fill_value=BIG)
+    pmask = uids < BIG
+    local = jnp.searchsorted(uids, sentinel).astype(jnp.int32)
+    local = jnp.where(obs_mask, jnp.minimum(local, Pw - 1), 0)
+    pts = state.map_points[jnp.where(pmask, uids, 0)]
+
+    bacfg = BAConfig(loss=cfg.ba_loss, loss_param=cfg.ba_loss_param,
+                     max_iters=cfg.ba_iters)
+    K4f, camsf, ptsf, info = bundle_adjust_window(
+        bacfg, state.K4, state.win_cams, pts, state.win_xy, local,
+        obs_mask, pmask,
+    )
+
+    P = state.map_points.shape[0]
+    scatter_idx = jnp.where(pmask, uids, P)
+    state = state._replace(
+        K4=K4f,
+        map_points=state.map_points.at[scatter_idx].set(ptsf, mode="drop"),
+    )
+    # resync prev pose to the adjusted last window frame
+    last = jnp.maximum(win_fill - 1, 0)
+    aa_t = camsf[last]
+    state = state._replace(
+        pose_R=rodrigues_to_matrix(aa_t[:3]),
+        pose_t=aa_t[3:],
+        win_used=jnp.zeros_like(state.win_used),
+        win_corr=jnp.full_like(state.win_corr, -1),
+    )
+    out = {
+        "cams": camsf,
+        "used": state.win_used,  # cleared; host uses win_fill instead
+        "rmse": jnp.stack([info["initial_rmse"], info["final_rmse"]]),
+        "num_residuals": info["num_residuals"],
+        "K4": K4f,
+    }
+    return state, out

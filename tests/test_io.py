@@ -89,3 +89,42 @@ def test_global_data_extend():
     assert gd.points.shape == (6, 3)
     assert gd.rotations.shape == (4, 3, 3)
     assert not gd.empty
+
+
+def test_native_io_decode_and_sequence(tmp_path, rng):
+    """Native C++ decoder (libjpeg/libpng + prefetch ring) matches PIL."""
+    from PIL import Image
+
+    from slam_indoor_code_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native slamio not built")
+    imgs = []
+    for i in range(5):
+        a = rng.integers(0, 255, (32, 40, 3)).astype(np.uint8)
+        Image.fromarray(a).save(tmp_path / f"f{i}.png")
+        imgs.append(a)
+    d = native.imread_rgb(str(tmp_path / "f0.png"))
+    np.testing.assert_array_equal(d, imgs[0])
+    seq = native.NativeSequence([str(tmp_path / f"f{i}.png") for i in range(5)],
+                                capacity=2, threads=2)
+    got = list(seq)
+    assert len(got) == 5
+    for g, a in zip(got, imgs):
+        np.testing.assert_array_equal(g, a)
+
+
+def test_media_source_uses_native(tmp_path, rng):
+    from PIL import Image
+
+    from slam_indoor_code_tpu.io import MediaSource, native
+
+    for i in range(3):
+        a = rng.integers(0, 255, (16, 20, 3)).astype(np.uint8)
+        Image.fromarray(a).save(tmp_path / f"img{i+1}.png")
+    ms = MediaSource(photos_pattern=str(tmp_path / "*.png"), use_photos=True)
+    frames = list(ms)
+    assert len(frames) == 3
+    assert frames[0].shape == (16, 20, 3)
