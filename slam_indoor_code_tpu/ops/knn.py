@@ -69,6 +69,14 @@ def _top2(d: jnp.ndarray):
     return d1, idx1, d2
 
 
+def _pallas_enabled(metric: str) -> bool:
+    import os
+
+    if os.environ.get("SLAM_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu" and metric in ("l2", "hamming")
+
+
 @partial(jax.jit, static_argnames=("metric",))
 def match_pair(
     desc_a: jnp.ndarray,
@@ -80,15 +88,23 @@ def match_pair(
 ):
     """2-NN + ratio match of frame A's descriptors against frame B's.
 
+    On TPU the fused Pallas distance+top-2 kernel runs
+    (ops/pallas_kernels.py); elsewhere the jnp reference path.
+
     Returns dict:
       train_idx [N] int32 — best B index per A query
       is_match  [N] bool  — passed validity + ratio test
       num_matches int32
     """
-    d = distance_matrix(desc_a, desc_b, metric)
-    # Invalidate padding columns before the reduction; padding rows filtered after.
-    d = jnp.where(valid_b[None, :], d, BIG)
-    d1, idx1, d2 = _top2(d)
+    if _pallas_enabled(metric):
+        from .pallas_kernels import top2_pallas
+
+        d1, idx1, d2 = top2_pallas(desc_a, desc_b, valid_b, metric=metric)
+    else:
+        d = distance_matrix(desc_a, desc_b, metric)
+        # Invalidate padding columns before the reduction; padding rows after.
+        d = jnp.where(valid_b[None, :], d, BIG)
+        d1, idx1, d2 = _top2(d)
     if metric == "l2":
         # distances are squared ⇒ compare against ratio² (ranking unchanged)
         ok_ratio = d1 < (ratio * ratio) * d2

@@ -1,13 +1,14 @@
-"""Oriented-BRIEF (ORB-style) binary descriptors, batched and fixed-shape.
+"""Oriented-BRIEF (ORB-style) binary descriptors — dense-first TPU design.
 
 The reference computes ORB descriptors on its FAST keypoints via
-``cv::ORB::create()->compute`` and matches them with Hamming distance
-(src/mainModule/featureMatching/featureMatchingCPU.cpp:45-66, matcher choice
-at featureMatchingCommon.cpp:13-21).  TPU-native design: orientation by
-intensity centroid (two weighted-window convolutions evaluated *at the
-keypoints* via gather), then 256 BRIEF comparisons sampled with one batched
-bilinear gather of 512 rotated offsets per keypoint, packed into 8×uint32
-words for XOR/popcount matching.
+``cv::ORB::create()->compute`` and matches with Hamming distance
+(featureMatchingCPU.cpp:45-66).  TPU redesign of the two gather-heavy parts:
+
+- the intensity-centroid orientation (a 709-pixel circular sum per keypoint)
+  becomes two dense separable moment maps (m10/m01, two 1-D passes each) read
+  back with ONE two-channel gather per keypoint;
+- the 512 BRIEF sample points are nearest-sampled from the blurred image
+  (the blur already provides the anti-aliasing bilinear would).
 
 The sampling pattern is a deterministic seeded Gaussian pattern (σ = patch/5,
 the BRIEF-32 recipe) rather than OpenCV's learned table: descriptors are not
@@ -23,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .image import bilinear_sample, gaussian_blur
+from .image import gaussian_blur, nearest_sample, sample_maps, separable_conv
 
 PATCH_RADIUS = 15          # ORB patch 31×31
 N_BITS = 256
@@ -41,26 +42,26 @@ def _brief_pattern(seed: int = 7) -> np.ndarray:
 
 _PATTERN = _brief_pattern()
 
-# Circular-window offsets for the intensity centroid (radius 15).
-def _centroid_offsets() -> np.ndarray:
-    r = PATCH_RADIUS
-    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
-    mask = xs**2 + ys**2 <= r**2
-    return np.stack([xs[mask], ys[mask]], axis=-1).astype(np.float32)  # [M,2]
+
+_RAMP = np.arange(-PATCH_RADIUS, PATCH_RADIUS + 1, dtype=np.float32)
+_ONES = np.ones(2 * PATCH_RADIUS + 1, dtype=np.float32)
 
 
-_CENTROID = _centroid_offsets()
+def orientation_maps(gray_blur: jnp.ndarray) -> jnp.ndarray:
+    """Dense centroid moments over a (2r+1)² square window: [H,W] → [H,W,2]
+    (m10, m01).  The square window makes the weighted sums separable — two
+    1-D passes each instead of a 31×31 conv (which XLA lowers terribly for a
+    single channel on TPU); orientation differs negligibly from the circular
+    window and stays consistent across frames, which is all matching needs."""
+    m10 = separable_conv(gray_blur, _RAMP, _ONES)
+    m01 = separable_conv(gray_blur, _ONES, _RAMP)
+    return jnp.stack([m10, m01], axis=-1)
 
 
 def orientations(gray_blur: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Keypoint orientations by intensity centroid: θ = atan2(m01, m10)
-    over a radius-15 circular patch.  xy: [K,2] → [K] radians."""
-    offs = jnp.asarray(_CENTROID)  # [M,2]
-    coords = xy[:, None, :] + offs[None, :, :]  # [K,M,2]
-    vals = bilinear_sample(gray_blur, coords)  # [K,M]
-    m10 = (vals * offs[None, :, 0]).sum(axis=1)
-    m01 = (vals * offs[None, :, 1]).sum(axis=1)
-    return jnp.arctan2(m01, m10)
+    """Keypoint orientations θ = atan2(m01, m10) via the dense moment maps."""
+    m = sample_maps(orientation_maps(gray_blur), xy)  # [K,2]
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -80,13 +81,13 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
     blur = gaussian_blur(gray, sigma=2.0, radius=4)
     theta = orientations(blur, xy)
     c, s = jnp.cos(theta), jnp.sin(theta)
-    # Rotate pattern endpoints per keypoint: [K,256,2,2]
+    # Rotate pattern endpoints per keypoint: [K,256,2] coords per endpoint
     pat = jnp.asarray(_PATTERN)  # [256,2,2]
     px, py = pat[..., 0], pat[..., 1]  # [256,2]
     rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
     ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
     coords = jnp.stack([rx, ry], axis=-1) + xy[:, None, None, :]  # [K,256,2,2]
-    vals = bilinear_sample(blur, coords)  # [K,256,2]
+    vals = nearest_sample(blur, coords)  # [K,256,2]
     bits = vals[..., 0] < vals[..., 1]  # [K,256]
     desc = pack_bits(bits)
     desc = jnp.where(valid[:, None], desc, 0)

@@ -1,13 +1,23 @@
-"""SIFT-style 128-float descriptors at FAST keypoints, batched & fixed-shape.
+"""SIFT-style 128-float descriptors at FAST keypoints — dense-first TPU design.
 
 The reference runs ``cv::SIFT::create()->compute`` on its FAST keypoints (no
 SIFT detection — descriptors only, featureMatchingCPU.cpp:45-66) and matches
-with L2.  TPU-native design: single-scale descriptors (FAST provides no
-scale) — dominant gradient orientation from a 36-bin Gaussian-weighted
-histogram, then the classic 4×4 spatial × 8 orientation-bin histogram over a
-rotated 16×16 sample grid, with soft orientation binning, Gaussian spatial
-weighting, normalize → clip 0.2 → renormalize.  Everything is one batched
-gather + dense einsum work over [K,256] samples; no data-dependent shapes.
+with L2.  A naive port samples ~256 rotated points per keypoint; on TPU,
+arbitrary gathers cost per *index* (~13 ns each through HBM), which measured
+at ~900 ms per 8-frame chunk — the pipeline's dominant cost.
+
+Dense-first redesign: all the per-pixel work happens once as fused VPU map
+algebra —
+
+  gradients → 8 soft-binned orientation-energy maps → Gaussian spatial
+  pooling (≈ the cell histogram integration)
+
+— and each keypoint then reads a tiny number of values out of the pooled
+stack: 8 channels at the keypoint for orientation assignment, and 8 channels
+at 16 rotated cell centers for the 4×4×8 descriptor.  Per-keypoint gather
+work drops from ~1k indices to 17, with each index fetching a whole channel
+vector (ops.image.sample_maps).  Rotation invariance is preserved by rotating
+the cell-center pattern and circularly interpolating the orientation bins.
 
 Bit-compatibility with OpenCV SIFT is explicitly not a goal (SURVEY.md §7
 step 3 accepts statistical parity; the oracle is trajectory ATE)."""
@@ -20,62 +30,64 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .image import bilinear_sample, gaussian_blur, sobel_gradients
+from .image import gaussian_blur, sample_maps, sample_maps_bilinear, sobel_gradients
 
 DESC_DIM = 128
 GRID = 4               # 4×4 spatial cells
 ORI_BINS = 8
-SAMPLES = 16           # 16×16 sample grid
-SPACING = 1.0          # pixels between samples at base scale
-WINDOW_SIGMA = 0.5 * SAMPLES * SPACING
+CELL_SPACING = 4.0     # pixels between cell centers at base scale
+POOL_SIGMA = 2.5       # spatial pooling ≈ cell-sized integration window
 
 
-def _sample_offsets() -> np.ndarray:
-    """[256,2] unrotated sample offsets centered on the keypoint."""
-    half = SAMPLES / 2.0 - 0.5
-    ys, xs = np.mgrid[0:SAMPLES, 0:SAMPLES].astype(np.float32)
-    xs = (xs - half) * SPACING
-    ys = (ys - half) * SPACING
+def _cell_offsets() -> np.ndarray:
+    """[16,2] unrotated cell-center offsets around the keypoint."""
+    half = (GRID - 1) / 2.0
+    ys, xs = np.mgrid[0:GRID, 0:GRID].astype(np.float32)
+    xs = (xs - half) * CELL_SPACING
+    ys = (ys - half) * CELL_SPACING
     return np.stack([xs.ravel(), ys.ravel()], axis=-1)
 
 
-def _spatial_weights() -> np.ndarray:
-    """Gaussian window + hard cell assignment: [256, 16] sample→cell weights."""
-    offs = _sample_offsets()
-    w = np.exp(-(offs**2).sum(-1) / (2 * WINDOW_SIGMA**2)).astype(np.float32)
-    cell_x = np.clip(((offs[:, 0] / SPACING + SAMPLES / 2) / (SAMPLES / GRID)).astype(int), 0, GRID - 1)
-    cell_y = np.clip(((offs[:, 1] / SPACING + SAMPLES / 2) / (SAMPLES / GRID)).astype(int), 0, GRID - 1)
-    cell = cell_y * GRID + cell_x
-    W = np.zeros((SAMPLES * SAMPLES, GRID * GRID), np.float32)
-    W[np.arange(len(cell)), cell] = w
-    return W
+_OFFSETS = _cell_offsets()
 
 
-_OFFSETS = _sample_offsets()
-_SPATIAL_W = _spatial_weights()
+def orientation_energy_maps(gray: jnp.ndarray) -> jnp.ndarray:
+    """[H,W] → pooled orientation-energy stack [H,W,8] (dense, fused VPU)."""
+    blur = gaussian_blur(gray, sigma=1.6, radius=4)
+    dx, dy = sobel_gradients(blur)
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)                       # [-π, π]
+    bin_f = (ang / (2.0 * jnp.pi) + 0.5) * ORI_BINS
+    b0 = jnp.floor(bin_f)
+    frac = bin_f - b0
+    b0 = b0.astype(jnp.int32) % ORI_BINS
+    b1 = (b0 + 1) % ORI_BINS
+    o = jnp.arange(ORI_BINS, dtype=jnp.int32)
+    maps = (
+        mag[..., None]
+        * (
+            (b0[..., None] == o) * (1.0 - frac[..., None])
+            + (b1[..., None] == o) * frac[..., None]
+        )
+    )  # [H,W,8]
+    pooled = gaussian_blur(jnp.moveaxis(maps, -1, 0), sigma=POOL_SIGMA, radius=5)
+    return jnp.moveaxis(pooled, 0, -1)
 
 
-def _dominant_orientation(dx_img, dy_img, xy):
-    """36-bin orientation histogram around each keypoint → dominant angle [K]."""
-    offs = jnp.asarray(_OFFSETS)
-    coords = xy[:, None, :] + offs[None]  # [K,256,2]
-    gx = bilinear_sample(dx_img, coords)
-    gy = bilinear_sample(dy_img, coords)
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx)  # [-π, π]
-    w = jnp.asarray(_SPATIAL_W.sum(axis=1))  # Gaussian window [256]
-    nbins = 36
-    bin_f = (ang / (2 * jnp.pi) + 0.5) * nbins
-    b0 = jnp.floor(bin_f).astype(jnp.int32) % nbins
-    frac = bin_f - jnp.floor(bin_f)
-    weights = mag * w[None]
-    hist = jnp.zeros((xy.shape[0], nbins), mag.dtype)
-    hist = hist.at[jnp.arange(xy.shape[0])[:, None], b0].add(weights * (1 - frac))
-    hist = hist.at[jnp.arange(xy.shape[0])[:, None], (b0 + 1) % nbins].add(weights * frac)
-    # smooth the circular histogram once
-    hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
-    peak = jnp.argmax(hist, axis=-1)
-    return (peak.astype(jnp.float32) + 0.5) / nbins * 2 * jnp.pi - jnp.pi
+def _dominant_orientation(hist: jnp.ndarray) -> jnp.ndarray:
+    """[K,8] pooled energies at the keypoint → angle [K] (parabolic refine
+    over the circular argmax)."""
+    b = jnp.argmax(hist, axis=-1)
+    K = hist.shape[0]
+    rows = jnp.arange(K)
+    h0 = hist[rows, (b - 1) % ORI_BINS]
+    h1 = hist[rows, b]
+    h2 = hist[rows, (b + 1) % ORI_BINS]
+    denom = h0 - 2.0 * h1 + h2
+    delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (h0 - h2) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    bin_center = b.astype(jnp.float32) + delta
+    return (bin_center / ORI_BINS) * 2.0 * jnp.pi - jnp.pi
 
 
 @partial(jax.jit, static_argnames=())
@@ -84,33 +96,33 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
 
     Returns dict: desc [K,128] float32 (L2-normalized, 0.2-clipped),
     angle [K], valid [K]."""
-    blur = gaussian_blur(gray, sigma=1.6, radius=4)
-    dx_img, dy_img = sobel_gradients(blur)
-    theta = _dominant_orientation(dx_img, dy_img, xy)
+    pooled = orientation_energy_maps(gray)          # [H,W,8]
+
+    # orientation from the pooled stack at the keypoint itself
+    h_kp = sample_maps(pooled, xy)                  # [K,8]
+    theta = _dominant_orientation(h_kp)
     c, s = jnp.cos(theta), jnp.sin(theta)
 
-    offs = jnp.asarray(_OFFSETS)  # [256,2]
+    # rotated 4×4 cell centers, nearest-sampled: [K,16,8]
+    offs = jnp.asarray(_OFFSETS)
     rx = c[:, None] * offs[None, :, 0] - s[:, None] * offs[None, :, 1]
     ry = s[:, None] * offs[None, :, 0] + c[:, None] * offs[None, :, 1]
-    coords = jnp.stack([rx, ry], axis=-1) + xy[:, None, :]  # [K,256,2]
-    gx = bilinear_sample(dx_img, coords)
-    gy = bilinear_sample(dy_img, coords)
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx) - theta[:, None]  # gradient dir relative to kp
+    coords = jnp.stack([rx, ry], axis=-1) + xy[:, None, :]
+    samples = sample_maps_bilinear(pooled, coords)  # [K,16,8]
 
-    bin_f = (ang / (2 * jnp.pi) + 0.5) * ORI_BINS
-    b0 = jnp.floor(bin_f).astype(jnp.int32) % ORI_BINS
-    frac = bin_f - jnp.floor(bin_f)
-    # orientation one-hot with linear interpolation: [K,256,8]
-    oh = (
-        jax.nn.one_hot(b0, ORI_BINS, dtype=mag.dtype) * (1 - frac)[..., None]
-        + jax.nn.one_hot((b0 + 1) % ORI_BINS, ORI_BINS, dtype=mag.dtype) * frac[..., None]
-    )
-    contrib = oh * mag[..., None]  # [K,256,8]
-    # spatial pooling into 16 cells: einsum over samples — MXU work
-    spatial = jnp.asarray(_SPATIAL_W)  # [256,16]
-    desc = jnp.einsum("kso,sc->kco", contrib, spatial).reshape(-1, DESC_DIM)
+    # rotate orientation bins by θ with circular linear interpolation
+    shift_f = (theta / (2.0 * jnp.pi) + 0.5) * ORI_BINS   # bins to rotate by
+    s0 = jnp.floor(shift_f)
+    frac = (shift_f - s0)[:, None, None]
+    s0 = s0.astype(jnp.int32)
+    o = jnp.arange(ORI_BINS, dtype=jnp.int32)
+    idx0 = (o[None, None, :] + s0[:, None, None]) % ORI_BINS
+    g0 = jnp.take_along_axis(samples, jnp.broadcast_to(idx0, samples.shape), -1)
+    idx1 = (idx0 + 1) % ORI_BINS
+    g1 = jnp.take_along_axis(samples, jnp.broadcast_to(idx1, samples.shape), -1)
+    rotated = g0 * (1.0 - frac) + g1 * frac         # [K,16,8]
 
+    desc = rotated.reshape(-1, DESC_DIM)
     # SIFT normalization: L2 → clip 0.2 → L2
     norm = jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-6)
     desc = jnp.clip(desc / norm, 0.0, 0.2)

@@ -244,12 +244,31 @@ class DeviceEngine:
             return {"status": "no_data", "global_data": gd,
                     "frames_accepted": 0, "last_pose": None}
         status = "interrupted"
+        B = self.batch_size + self.cfg.fill_chunk
         while True:
             self.fill()
             if not self.batch:
                 status = "video_over"
                 break
-            train_all, mask_all, found, pos = self._match_select()
+            if self._win_fill >= self.cfg.window:
+                self._flush_window(gd, timer)
+            # fused match+select+track: ONE dispatch + ONE tiny download
+            order = np.zeros(B, np.int32)
+            omask = np.zeros(B, bool)
+            nb = min(len(self.batch), B)
+            order[:nb] = self.batch[:nb]
+            omask[:nb] = True
+            self.state, packed = steps.advance_step(
+                self.cfg, self.state, jnp.asarray(order), jnp.asarray(omask),
+                jnp.asarray(self._win_fill, jnp.int32), self._next_key())
+            packed = np.asarray(packed)
+            found = packed[0] > 0.5
+            pos = int(packed[1])
+            counts = packed[20:20 + B].astype(np.int64)
+            if self.logs:
+                for bi in range(nb - 1, self.cfg.skip_from_head - 1, -1):
+                    self.logs.main.write(
+                        f"Batch index: {bi}; matched {int(counts[bi])}\n")
             if not found:
                 if self.logs:
                     self.logs.main.write(
@@ -257,14 +276,8 @@ class DeviceEngine:
                 status = "interrupted"
                 break
             slot = self._consume_through(pos)
-            if self._win_fill >= self.cfg.window:
-                self._flush_window(gd, timer)
-            self.state, out = steps.track_step(
-                self.cfg, self.state, jnp.asarray(slot, jnp.int32),
-                train_all, mask_all, jnp.asarray(pos, jnp.int32),
-                jnp.asarray(self._win_fill, jnp.int32), self._next_key())
             self._release(slot)
-            ok, n_corr, n_inl, n_new, n_matches, R, t = self._unpack(np.asarray(out))
+            ok, n_corr, n_inl, n_new, n_matches, R, t = self._unpack(packed[3:20])
             if not ok:
                 if self.logs:
                     self.logs.main.write(

@@ -217,17 +217,14 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
 
 
 # ------------------------------------------------------------- track step
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def track_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
-               train_all: jnp.ndarray, mask_all: jnp.ndarray,
-               good_pos: jnp.ndarray, win_pos: jnp.ndarray, key):
+def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
+                train: jnp.ndarray, mask: jnp.ndarray,
+                win_pos: jnp.ndarray, key):
     """Accept the chosen candidate: PnP pose, triangulate, verified map
     merge, window bookkeeping (mainCycle.cpp:111-219).  All state updates are
     gated on ok = enough PnP correspondences, so a failed frame leaves the
     state untouched (the host then breaks, mirroring the reference)."""
     K = _K_matrix(state.K4)
-    train = train_all[good_pos]
-    mask = mask_all[good_pos]
     new_xy = state.ring_xy[slot]
     new_valid = state.ring_valid[slot]
     new_desc = state.ring_desc[slot]
@@ -294,6 +291,16 @@ def track_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
     return state_out, out
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def track_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
+               train_all: jnp.ndarray, mask_all: jnp.ndarray,
+               good_pos: jnp.ndarray, win_pos: jnp.ndarray, key):
+    """Standalone track dispatch (see _track_core); the steady-state loop
+    uses the fused ``advance_step`` instead."""
+    return _track_core(cfg, state, slot, train_all[good_pos],
+                       mask_all[good_pos], win_pos, key)
+
+
 # ----------------------------------------------------------------- BA step
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
@@ -343,3 +350,50 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
         "K4": K4f,
     }
     return state, out
+
+
+# ------------------------------------------------------- fused frame advance
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def advance_step(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
+                 order_mask: jnp.ndarray, win_pos: jnp.ndarray, key):
+    """match_select + track_step fused into ONE dispatch — the steady-state
+    per-frame program.  Per-dispatch sync costs ~28 ms through the remote
+    tunnel, so halving the dispatches matters more than any FLOP here.
+
+    Returns (state', packed) where packed = [found, good_pos, count_good,
+    ok, n_corr, n_inl, n_new, n_matches, R(9), t(3), counts(B)] — one small
+    download carries everything the host needs (control flow + pose logging
+    + reference-style per-index match counts)."""
+    fcfg = _frontend_cfg(cfg)
+    desc_b = state.ring_desc[order]
+    valid_b = state.ring_valid[order]
+    res = fe.match_against_batch(
+        fcfg, state.prev_desc, state.prev_valid, desc_b, valid_b, order_mask
+    )
+    counts = res["num_matches"].astype(jnp.int32)
+    B = counts.shape[0]
+    pos_arr = jnp.arange(B, dtype=jnp.int32)
+    eligible = (pos_arr >= cfg.skip_from_head) & order_mask & (
+        counts >= cfg.required_matched)
+    any_ok = eligible.any()
+    if cfg.use_first_fit:
+        good = jnp.max(jnp.where(eligible, pos_arr, -1))
+    else:
+        best = jnp.max(jnp.where(eligible, counts, -1))
+        good = jnp.argmax(jnp.where(eligible, counts, -1) == best).astype(jnp.int32)
+    good = jnp.where(any_ok, good, 0)
+
+    slot = order[good]
+    train = res["train_idx"][good]
+    mask = res["is_match"][good] & any_ok
+    state2, out = _track_core(cfg, state, slot, train, mask, win_pos, key)
+    state_out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(any_ok, a, b), state2, state)
+
+    head = jnp.stack([
+        any_ok.astype(jnp.float32),
+        jnp.where(any_ok, good, -1).astype(jnp.float32),
+        jnp.where(any_ok, counts[good], 0).astype(jnp.float32),
+    ])
+    packed = jnp.concatenate([head, out, counts.astype(jnp.float32)])
+    return state_out, packed
