@@ -32,7 +32,7 @@ def build_frames(n_frames: int, image_size=(1080, 1920), seed=7):
 
     scene = make_scene(
         n_points=1500, n_frames=n_frames, image_size=image_size, seed=seed,
-        baseline=0.25,
+        baseline=0.25, kind="hallway",
     )
     log(f"rendering {n_frames} frames {image_size} ...")
     frames = [scene.render(i) for i in range(n_frames)]
@@ -58,7 +58,7 @@ def run_pipeline(scene, frames, outdir, ba=True):
         BAHuberLossFunctionParameter=2.0,
         tpu=TpuConfig(max_keypoints=2048, ransac_iters=1024,
                       pnp_ransac_iters=256, window_points=1 << 14,
-                      ba_max_iters=20),
+                      ba_max_iters=15),
     )
     return slam_main(cfg, scene.K, frames=frames), cfg
 

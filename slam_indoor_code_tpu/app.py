@@ -28,6 +28,7 @@ def make_media(cfg: Config, frames=None):
         photos_pattern=cfg.photosPathPattern,
         video_path=cfg.videoSourcePath,
         use_photos=cfg.usePhotosCycle,
+        threads=max(1, cfg.threadsCount),
     )
 
 
@@ -114,11 +115,19 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
     logs = LogStreams(cfg.outputDataDir)
     media = make_media(cfg, frames)
     ecfg = EngineConfig.from_config(cfg)
+    dist = None
+    if cfg.useUndistortion and cfg.calibrationPath:
+        try:
+            from .io.xmlio import load_matrix_from_xml
+
+            dist = load_matrix_from_xml(cfg.calibrationPath, "DC").reshape(-1)
+        except Exception:
+            dist = None
     engine = DeviceEngine(
         media, K, ecfg,
         batch_size=cfg.framesBatchSize,
         required_extracted=cfg.requiredExtractedPointsCount,
-        logs=logs, seed=seed,
+        logs=logs, seed=seed, dist=dist,
     )
 
     global_data = GlobalData()

@@ -217,10 +217,27 @@ def calibrate_camera(
 
 
 # --------------------------------------------------------------- entry points
+def _save_corner_overlay(img: np.ndarray, corners: np.ndarray, path: str):
+    """Headless stand-in for the reference's visualCalibration corner display
+    (drawChessboardCorners + imshow): save an overlay artifact instead."""
+    out = np.array(img, copy=True)
+    for u, v in corners:
+        ui, vi = int(round(u)), int(round(v))
+        out[max(0, vi - 2):vi + 3, max(0, ui - 2):ui + 3] = [255, 0, 0]
+    try:
+        from PIL import Image
+
+        Image.fromarray(out).save(path)
+    except Exception:
+        pass
+
+
 def chessboard_photos_calibration(photo_paths, save_path, pattern_size=PATTERN_SIZE,
-                                  max_views: int = 20):
+                                  max_views: int = 20, visual_dir: str | None = None):
     """Calibrate from photo files and persist to XML (reference:
     chessboardPhotosCalibration, cameraCalibration.cpp:142-203)."""
+    import os
+
     from ..io.media import _imread_rgb
 
     obj = make_object_points(pattern_size)
@@ -235,6 +252,11 @@ def chessboard_photos_calibration(photo_paths, save_path, pattern_size=PATTERN_S
         c = find_chessboard_corners(gray, pattern_size)
         if c is not None:
             img_pts.append(c)
+            if visual_dir:
+                os.makedirs(visual_dir, exist_ok=True)
+                _save_corner_overlay(
+                    img, c, os.path.join(
+                        visual_dir, f"corners_{len(img_pts):02d}.png"))
         if len(img_pts) >= max_views:
             break
     if len(img_pts) < 3:
@@ -250,7 +272,9 @@ def main_calibration_entry_point(cfg):
     (cameraCalibration.cpp:18-32): photos glob or video source."""
     if cfg.usePhotosCycle:
         paths = sorted(_glob.glob(cfg.photosPathPattern))
-        return chessboard_photos_calibration(paths, cfg.calibrationPath)
+        visual_dir = cfg.outputDataDir if cfg.visualCalibration else None
+        return chessboard_photos_calibration(paths, cfg.calibrationPath,
+                                             visual_dir=visual_dir)
     # video: sample frames uniformly
     import cv2
 

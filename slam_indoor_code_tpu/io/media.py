@@ -66,6 +66,7 @@ class MediaSource:
         video_path: str = "",
         use_photos: bool = True,
         prefetch: int = 8,
+        threads: int = 2,
     ):
         self.use_photos = use_photos
         self._video = None
@@ -77,8 +78,11 @@ class MediaSource:
 
             if native.available() and self._paths:
                 # native prefetching decoder (no python thread needed)
+                # threadsCount maps onto decode workers (the reference used
+                # it for its matching thread pool, which we vectorized away)
                 self._native = native.NativeSequence(
-                    self._paths, capacity=max(1, prefetch), threads=2)
+                    self._paths, capacity=max(1, prefetch),
+                    threads=max(1, threads))
                 return
         else:
             import cv2

@@ -18,7 +18,9 @@ decoded frame chunk per fill.  Bundle adjustment (``ba_step``) runs on the
 device-resident window and map with only its RMSE/pose summary coming back.
 """
 
-from .engine import DeviceEngine, EngineConfig
-from .state import TrackerState, init_state
+from .checkpoint import load_checkpoint, save_checkpoint
+from .engine import DeviceEngine
+from .state import EngineConfig, TrackerState, init_state
 
-__all__ = ["DeviceEngine", "EngineConfig", "TrackerState", "init_state"]
+__all__ = ["DeviceEngine", "EngineConfig", "TrackerState", "init_state",
+           "load_checkpoint", "save_checkpoint"]

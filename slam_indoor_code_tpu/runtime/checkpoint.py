@@ -1,0 +1,55 @@
+"""Mid-run checkpoint / resume of the device-resident tracker state.
+
+The reference's only persistence is its txt logs, reloadable for
+visualization (`onlyViz`, IOmisc.cpp:133-178) — there is no mid-run resume
+(SURVEY.md §5.4).  Here the full solver state — map arena, previous-frame
+features, pose, BA window, intrinsics, plus the host-side cursors — round-
+trips through one compressed npz, so a long run can resume exactly where it
+stopped (the orbax-style capability SURVEY.md §5.4 calls for, in a single
+dependency-free file)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .state import TrackerState
+
+
+def save_checkpoint(path: str, engine) -> None:
+    """Snapshot a DeviceEngine (state + host cursors) to ``path`` (.npz)."""
+    arrays = {f"state_{k}": np.asarray(v) for k, v in
+              zip(TrackerState._fields, engine.state)}
+    arrays["host_key"] = np.asarray(engine._key)
+    arrays["host_win_fill"] = np.asarray(engine._win_fill)
+    arrays["host_frames_accepted"] = np.asarray(engine.frames_accepted)
+    arrays["host_traj_R"] = (np.stack(engine.trajectory_R)
+                             if engine.trajectory_R else np.zeros((0, 3, 3)))
+    arrays["host_traj_t"] = (np.stack(engine.trajectory_t)
+                             if engine.trajectory_t else np.zeros((0, 3)))
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str, engine) -> None:
+    """Restore a DeviceEngine from ``save_checkpoint`` output in place.
+
+    The engine must have been built with the same EngineConfig (shapes are
+    validated array-by-array)."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    fields = {}
+    for k in TrackerState._fields:
+        arr = data[f"state_{k}"]
+        cur = getattr(engine.state, k)
+        if tuple(arr.shape) != tuple(cur.shape):
+            raise ValueError(
+                f"checkpoint field {k}: shape {arr.shape} != engine {cur.shape} "
+                "(EngineConfig mismatch)")
+        fields[k] = jnp.asarray(arr, cur.dtype)
+    engine.state = TrackerState(**fields)
+    engine._key = jax.numpy.asarray(data["host_key"])
+    engine._win_fill = int(data["host_win_fill"])
+    engine.frames_accepted = int(data["host_frames_accepted"])
+    engine.trajectory_R = list(data["host_traj_R"])
+    engine.trajectory_t = list(data["host_traj_t"])

@@ -26,13 +26,14 @@ FRAME_NOT_FOUND = -2
 class DeviceEngine:
     def __init__(self, media, K: np.ndarray, cfg: EngineConfig,
                  batch_size: int, required_extracted: int,
-                 logs: LogStreams | None = None, seed: int = 0):
+                 logs: LogStreams | None = None, seed: int = 0,
+                 dist: np.ndarray | None = None):
         self.media = media
         self.cfg = cfg
         self.batch_size = batch_size
         self.required_extracted = required_extracted
         self.logs = logs
-        self.state = init_state(K, cfg)
+        self.state = init_state(K, cfg, dist=dist)
         self._key = jax.random.PRNGKey(seed)
         self._free = list(range(cfg.ring))
         self.batch: list[int] = []      # ring slots in batch order (head first)
@@ -62,6 +63,8 @@ class DeviceEngine:
 
     # ------------------------------------------------------------------ fill
     def fill(self) -> None:
+        t0 = ChronoTimer()
+        filled = False
         C = self.cfg.fill_chunk
         while (len(self.batch) < self.batch_size and not self._media_over
                and len(self._free) >= C):
@@ -82,6 +85,7 @@ class DeviceEngine:
             self.state, counts = steps.ingest(
                 self.cfg, self.state, jnp.asarray(stacked), jnp.asarray(slots))
             counts = np.asarray(counts)[:n]
+            filled = True
             taken = []
             for i in range(n):
                 if counts[i] >= self.required_extracted:
@@ -94,6 +98,9 @@ class DeviceEngine:
                     "Features count in frames added to batch: "
                     + " ".join(str(int(c)) for c in counts if c >= self.required_extracted)
                     + f"\nBatch size: {len(self.batch)}\n")
+        if filled and self.logs:
+            # reference: "MS for batch's filling:" (batch.cpp:265)
+            t0.print_start_delta("MS for batch's filling: ", self.logs.time)
 
     def _consume_through(self, pos: int) -> int:
         """Free ring slots head..pos, return the chosen slot."""
@@ -258,12 +265,18 @@ class DeviceEngine:
             nb = min(len(self.batch), B)
             order[:nb] = self.batch[:nb]
             omask[:nb] = True
+            t_match = ChronoTimer()
             self.state, packed = steps.advance_step(
                 self.cfg, self.state, jnp.asarray(order), jnp.asarray(omask),
                 jnp.asarray(self._win_fill, jnp.int32), self._next_key())
             packed = np.asarray(packed)
             found = packed[0] > 0.5
             pos = int(packed[1])
+            if self.logs:
+                # reference: "Matching time for index i : ms" (batch.cpp:155)
+                self.logs.time.write(
+                    f"Matching time for index {pos if found else -1}")
+                t_match.print_start_delta(": ", self.logs.time)
             counts = packed[20:20 + B].astype(np.int64)
             if self.logs:
                 for bi in range(nb - 1, self.cfg.skip_from_head - 1, -1):

@@ -37,6 +37,7 @@ class EngineConfig:
     skip_from_head: int = 0
     use_first_fit: bool = False
     # geometry
+    use_undistortion: bool = False
     use_ransac: bool = True
     ransac_threshold: float = 1.0
     distance_threshold: float = 50.0
@@ -48,6 +49,7 @@ class EngineConfig:
     ba_loss: str = "huber"
     ba_loss_param: float = 1.0
     ba_iters: int = 25
+    ba_obs_cap: int = 4096
 
     @property
     def desc_dim(self) -> int:
@@ -70,6 +72,7 @@ class EngineConfig:
             descriptor=cfg.descriptor_kind,
             ratio=float(cfg.knnMatcherDistance),
             metric=cfg.match_metric,
+            use_undistortion=cfg.useUndistortion,
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,
             use_first_fit=cfg.useFirstFitInBatch,
@@ -89,6 +92,7 @@ class TrackerState(NamedTuple):
     # shared intrinsics (BA adjusts these in place, like the reference's
     # calibrationMatrix write-back)
     K4: jnp.ndarray           # [4] fx, fy, cx, cy
+    dist: jnp.ndarray         # [5] OpenCV distortion coeffs (k1,k2,p1,p2,k3)
 
     # global map arena (device twin of pipeline.structures.MapArena)
     map_points: jnp.ndarray   # [P,3] f32
@@ -116,13 +120,16 @@ class TrackerState(NamedTuple):
     win_used: jnp.ndarray     # [F] bool
 
 
-def init_state(K: np.ndarray, cfg: EngineConfig) -> TrackerState:
+def init_state(K: np.ndarray, cfg: EngineConfig,
+               dist: np.ndarray | None = None) -> TrackerState:
     k, desc_dim, desc_dtype = cfg.max_keypoints, cfg.desc_dim, cfg.desc_dtype
     ring, map_cap, window = cfg.ring, cfg.map_cap, cfg.window
     f32 = jnp.float32
     K = np.asarray(K, np.float64)
+    dist = np.zeros(5) if dist is None else np.asarray(dist).reshape(-1)[:5]
     return TrackerState(
         K4=jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], f32),
+        dist=jnp.asarray(dist, f32),
         map_points=jnp.zeros((map_cap, 3), f32),
         map_colors=jnp.zeros((map_cap, 3), f32),
         map_count=jnp.zeros((), jnp.int32),

@@ -51,8 +51,17 @@ def ingest(cfg: EngineConfig, state: TrackerState, rgb: jnp.ndarray,
     slots [C].  Returns (state, num_corners [C])."""
     fcfg = _frontend_cfg(cfg)
     res = fe.extract_and_describe_batch(fcfg, rgb)
+    xy = res["xy"]
+    if cfg.use_undistortion:
+        # reference declares useUndistortion but never applies it (TODO
+        # comments at batch.cpp:247, mainCycleInternals.cpp:141); we correct
+        # keypoint coordinates with the calibration's 5-coeff model.
+        from ..geometry.projection import undistort_points
+
+        K = _K_matrix(state.K4)
+        xy = jax.vmap(lambda u: undistort_points(K, state.dist, u))(xy)
     state = state._replace(
-        ring_xy=state.ring_xy.at[slots].set(res["xy"]),
+        ring_xy=state.ring_xy.at[slots].set(xy),
         ring_valid=state.ring_valid.at[slots].set(res["valid"]),
         ring_desc=state.ring_desc.at[slots].set(res["desc"]),
         ring_colors=state.ring_colors.at[slots].set(
@@ -321,7 +330,7 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
     pts = state.map_points[jnp.where(pmask, uids, 0)]
 
     bacfg = BAConfig(loss=cfg.ba_loss, loss_param=cfg.ba_loss_param,
-                     max_iters=cfg.ba_iters)
+                     max_iters=cfg.ba_iters, obs_cap=cfg.ba_obs_cap)
     K4f, camsf, ptsf, info = bundle_adjust_window(
         bacfg, state.K4, state.win_cams, pts, state.win_xy, local,
         obs_mask, pmask,

@@ -108,6 +108,9 @@ class BAConfig:
     max_iters: int = 25
     init_lambda: float = 1e-3
     fix_intrinsics: bool = False
+    obs_cap: int = 0   # >0: compact the [F,K] slot grid to this many
+    #                    observations (valid-first) before solving — most
+    #                    slots are masked padding and waste Jacobian work
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -131,6 +134,17 @@ def bundle_adjust_window(
     uv_flat = uv.reshape(O, 2)
     pid = point_idx.reshape(O).astype(jnp.int32)
     m_obs = obs_mask.reshape(O)
+    if cfg.obs_cap and cfg.obs_cap < O:
+        # valid-first compaction: keypoint slots are mostly padding, and the
+        # per-observation jacfwd dominates the solve.  Overflowing valid
+        # observations (rare: needs > obs_cap bound features) are dropped;
+        # the caller sees the true count in info["num_residuals"].
+        order = jnp.argsort(jnp.logical_not(m_obs), stable=True)[: cfg.obs_cap]
+        f_of_obs = f_of_obs[order]
+        uv_flat = uv_flat[order]
+        pid = pid[order]
+        m_obs = m_obs[order]
+        O = cfg.obs_cap
     pid_safe = jnp.where(m_obs, pid, 0)
 
     def pack(K4, cams, points):

@@ -95,34 +95,56 @@ def make_scene(
     image_size: tuple = (480, 640),
     seed: int = 0,
     baseline: float = 0.12,
+    kind: str = "arc",
 ) -> SyntheticScene:
-    """A camera arcing sideways past a 3-D point cloud ~4–8 units away.
+    """Synthetic camera paths through a 3-D point cloud.
 
-    ``baseline`` is the inter-frame camera travel; with depth ≈ 6 that gives
-    healthy triangulation angles like the reference's indoor hallway videos."""
+    ``kind='arc'``: camera slides sideways past a frontal cloud ~4–8 units
+    away (good for short sequences; overlap decays at the ends).
+    ``kind='hallway'``: camera walks forward through a corridor of points —
+    constant overlap for arbitrarily long sequences, matching the reference's
+    indoor hallway videos.  ``baseline`` is the inter-frame camera travel."""
     rng = np.random.default_rng(seed)
     H, W = image_size
     f = 0.9 * W
     K = np.array([[f, 0.0, W / 2], [0.0, f, H / 2], [0.0, 0.0, 1.0]])
 
-    points = np.stack(
-        [
-            rng.uniform(-3.0, 3.0, n_points),
-            rng.uniform(-2.0, 2.0, n_points),
-            rng.uniform(4.0, 8.0, n_points),
-        ],
-        axis=1,
-    )
-    colors = rng.integers(140, 255, size=(n_points, 3)).astype(np.uint8)
-
     rotations, translations = [], []
-    for i in range(n_frames):
-        center = np.array([i * baseline - baseline * n_frames / 2, 0.02 * np.sin(i), 0.0])
-        target = np.array([0.0, 0.0, 6.0])
-        R = _lookat_rotation(center, target)
-        t = -R @ center
-        rotations.append(R)
-        translations.append(t)
+    if kind == "hallway":
+        length = n_frames * baseline + 10.0
+        # points on the corridor walls/floor/ceiling band, sparse in the middle
+        side = rng.choice(4, n_points)
+        u = rng.uniform(-0.4, 0.4, n_points)
+        along = rng.uniform(1.0, length, n_points)
+        x = np.where(side == 0, -2.5 + u, np.where(side == 1, 2.5 + u,
+                     rng.uniform(-2.5, 2.5, n_points)))
+        y = np.where(side == 2, -1.8 + u, np.where(side == 3, 1.8 + u,
+                     rng.uniform(-1.8, 1.8, n_points)))
+        points = np.stack([x, y, along], axis=1)
+        for i in range(n_frames):
+            center = np.array([0.05 * np.sin(0.3 * i), 0.03 * np.cos(0.4 * i),
+                               i * baseline])
+            target = center + np.array([0.0, 0.0, 5.0])
+            R = _lookat_rotation(center, target)
+            rotations.append(R)
+            translations.append(-R @ center)
+    else:
+        points = np.stack(
+            [
+                rng.uniform(-3.0, 3.0, n_points),
+                rng.uniform(-2.0, 2.0, n_points),
+                rng.uniform(4.0, 8.0, n_points),
+            ],
+            axis=1,
+        )
+        for i in range(n_frames):
+            center = np.array(
+                [i * baseline - baseline * n_frames / 2, 0.02 * np.sin(i), 0.0])
+            target = np.array([0.0, 0.0, 6.0])
+            R = _lookat_rotation(center, target)
+            rotations.append(R)
+            translations.append(-R @ center)
+    colors = rng.integers(140, 255, size=(n_points, 3)).astype(np.uint8)
 
     return SyntheticScene(
         K=K,

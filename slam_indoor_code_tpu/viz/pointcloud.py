@@ -125,3 +125,39 @@ def visualize_global_data(gd, cfg, *, interactive: bool | None = None,
         except ImportError:
             pass
     return artifacts
+
+
+def matches_overlay(
+    path: str,
+    frame_a: np.ndarray,
+    xy_a: np.ndarray,
+    frame_b: np.ndarray,
+    xy_b: np.ndarray,
+    train_idx: np.ndarray,
+    is_match: np.ndarray,
+    max_lines: int = 200,
+) -> None:
+    """Side-by-side match visualization saved to disk — the headless
+    counterpart of the reference's ``showMatchedPointsInTwoFrames`` debug
+    window (featureMatchingCommon.cpp:52-68)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    H = max(frame_a.shape[0], frame_b.shape[0])
+    Wa = frame_a.shape[1]
+    canvas = np.zeros((H, Wa + frame_b.shape[1], 3), np.uint8)
+    canvas[: frame_a.shape[0], :Wa] = frame_a
+    canvas[: frame_b.shape[0], Wa:] = frame_b
+    fig, ax = plt.subplots(figsize=(12, 5))
+    ax.imshow(canvas)
+    q = np.flatnonzero(np.asarray(is_match))[:max_lines]
+    tr = np.asarray(train_idx)
+    for i in q:
+        a = np.asarray(xy_a)[i]
+        b = np.asarray(xy_b)[tr[i]]
+        ax.plot([a[0], b[0] + Wa], [a[1], b[1]], "-", lw=0.4, color="lime")
+    ax.set_axis_off()
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)

@@ -83,3 +83,88 @@ def test_engine_track_loss_restart(rt_scene, tmp_path):
     gd = slam_main(cfg, rt_scene.K, frames=frames)
     assert len(gd.rotations) >= 10
     assert len(gd.points) > 150
+
+
+def test_engine_undistortion_applied(rt_scene):
+    """useUndistortion corrects keypoint coords via the calibration's DC
+    (capability the reference only stubs with TODOs, batch.cpp:247)."""
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.runtime import DeviceEngine, EngineConfig
+    from slam_indoor_code_tpu.runtime import steps
+    from slam_indoor_code_tpu.io.media import ArraySource
+
+    frames = [rt_scene.render(0)]
+    dist = np.array([0.15, -0.05, 0.0, 0.0, 0.0])
+    cfg_on = EngineConfig(max_keypoints=256, ring=9, map_cap=1024, window=4,
+                          window_points=256, use_undistortion=True)
+    cfg_off = EngineConfig(max_keypoints=256, ring=9, map_cap=1024, window=4,
+                           window_points=256, use_undistortion=False)
+    e_on = DeviceEngine(ArraySource(frames), rt_scene.K, cfg_on,
+                        batch_size=4, required_extracted=10, dist=dist)
+    e_off = DeviceEngine(ArraySource(frames), rt_scene.K, cfg_off,
+                         batch_size=4, required_extracted=10, dist=dist)
+    rgb = jnp.asarray(np.stack(frames * 8))
+    slots = jnp.arange(8, dtype=jnp.int32)
+    e_on.state, _ = steps.ingest(cfg_on, e_on.state, rgb, slots)
+    e_off.state, _ = steps.ingest(cfg_off, e_off.state, rgb, slots)
+    xy_on = np.asarray(e_on.state.ring_xy[0])
+    xy_off = np.asarray(e_off.state.ring_xy[0])
+    v = np.asarray(e_off.state.ring_valid[0])
+    # barrel distortion: corrected points move outward from the center
+    c = np.array([rt_scene.K[0, 2], rt_scene.K[1, 2]])
+    r_on = np.linalg.norm(xy_on[v] - c, axis=1)
+    r_off = np.linalg.norm(xy_off[v] - c, axis=1)
+    assert (r_on < r_off - 1e-3).mean() > 0.8
+    assert np.abs(r_on - r_off).max() > 1.0  # correction is substantial
+
+
+def test_checkpoint_roundtrip(rt_scene, tmp_path):
+    """save/load of the full device state resumes a run exactly
+    (SURVEY.md §5.4 — capability the reference lacks)."""
+    from slam_indoor_code_tpu.io.media import ArraySource
+    from slam_indoor_code_tpu.runtime import (DeviceEngine, EngineConfig,
+                                              load_checkpoint, save_checkpoint)
+
+    frames = [rt_scene.render(i) for i in range(14)]
+    cfg = EngineConfig(max_keypoints=256, ring=14, map_cap=8192, window=4,
+                       window_points=1024, required_matched=30,
+                       distance_threshold=500.0, ransac_iters=128,
+                       pnp_iters=64, ratio=0.8, threshold=20.0)
+    e1 = DeviceEngine(ArraySource(frames[:8]), rt_scene.K, cfg,
+                      batch_size=6, required_extracted=50)
+    e1.run()
+    ck = str(tmp_path / "ck.npz")
+    save_checkpoint(ck, e1)
+
+    e2 = DeviceEngine(ArraySource(frames[8:]), rt_scene.K, cfg,
+                      batch_size=6, required_extracted=50)
+    load_checkpoint(ck, e2)
+    assert int(np.asarray(e2.state.map_count)) == int(np.asarray(e1.state.map_count))
+    np.testing.assert_allclose(np.asarray(e2.state.pose_t),
+                               np.asarray(e1.state.pose_t))
+    # resumed engine continues tracking on the remaining frames
+    r = e2.run(np.asarray(e1.state.pose_R), np.asarray(e1.state.pose_t))
+    assert e2.frames_accepted >= e1.frames_accepted  # cumulative counter restored
+    assert int(np.asarray(e2.state.map_count)) > int(np.asarray(e1.state.map_count))
+
+
+def test_matches_overlay_artifact(rt_scene, tmp_path):
+    from slam_indoor_code_tpu.viz import pointcloud as pc
+    import jax.numpy as jnp
+    from slam_indoor_code_tpu.models import frontend as fe
+
+    fcfg = fe.FrontendConfig(max_keypoints=128, threshold=20.0,
+                             descriptor="orb", ratio=0.85, metric="hamming")
+    fa, fb = rt_scene.render(0), rt_scene.render(1)
+    ra = fe.extract_and_describe(fcfg, jnp.asarray(fa))
+    rb = fe.extract_and_describe(fcfg, jnp.asarray(fb))
+    from slam_indoor_code_tpu.ops import knn
+
+    m = knn.match_pair(ra["desc"], ra["valid"], rb["desc"], rb["valid"],
+                       0.85, "hamming")
+    out = tmp_path / "matches.png"
+    pc.matches_overlay(str(out), fa, np.asarray(ra["xy"]), fb,
+                       np.asarray(rb["xy"]), np.asarray(m["train_idx"]),
+                       np.asarray(m["is_match"]))
+    assert out.stat().st_size > 5000
