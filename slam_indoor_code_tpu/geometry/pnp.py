@@ -106,6 +106,8 @@ def solve_pnp_ransac(
     reproj_threshold_px: float | jnp.ndarray = 8.0,
     num_hypotheses: int = 256,
     refine_iters: int = 8,
+    prior_R: jnp.ndarray | None = None,
+    prior_t: jnp.ndarray | None = None,
 ):
     """RANSAC PnP over N fixed correspondence slots.
 
@@ -113,6 +115,12 @@ def solve_pnp_ransac(
       X: [N,3] world points, uv: [N,2] pixel observations, mask: [N] validity.
       reproj_threshold_px: inlier gate (OpenCV solvePnPRansac default 8.0,
         as used at mainCycle.cpp:155-161).
+      prior_R/prior_t: optional motion-prior pose injected as an extra
+        hypothesis — in incremental tracking the previous frame's pose is an
+        excellent candidate and caps RANSAC's worst case.
+
+    Two local-optimization rounds (LO-RANSAC style): GN on the winner's
+    inliers, re-gate, GN again — stabilizes the occasional weak draw.
 
     Returns dict with R [3,3], t [3] (world→camera), inliers [N],
     num_inliers."""
@@ -123,6 +131,9 @@ def solve_pnp_ransac(
     probs = probs / jnp.maximum(probs.sum(), 1.0)
     idx = jax.random.choice(key, n, shape=(num_hypotheses, 6), p=probs)
     R_c, t_c = _dlt_pnp(X[idx], x_norm[idx])
+    if prior_R is not None and prior_t is not None:
+        R_c = jnp.concatenate([R_c, prior_R[None]], axis=0)
+        t_c = jnp.concatenate([t_c, prior_t[None]], axis=0)
 
     err, depth = _reproj_err_px(K, R_c, t_c, X, uv)
     inlier_mat = (err < reproj_threshold_px) & (depth > 0) & mask[None, :]
@@ -132,6 +143,12 @@ def solve_pnp_ransac(
 
     R, t = _gauss_newton_refine(
         K, R_c[best], t_c[best], X, uv, inliers.astype(X.dtype), iters=refine_iters
+    )
+    # LO round 2: re-gate under the refined pose, refine again.
+    err_1, depth_1 = _reproj_err_px(K, R[None], t[None], X, uv)
+    inliers_1 = (err_1[0] < reproj_threshold_px) & (depth_1[0] > 0) & mask
+    R, t = _gauss_newton_refine(
+        K, R, t, X, uv, inliers_1.astype(X.dtype), iters=refine_iters // 2 + 1
     )
     # Final inlier set under the refined pose.
     err_f, depth_f = _reproj_err_px(K, R[None], t[None], X, uv)

@@ -287,6 +287,8 @@ class MainCycle:
                 self._next_key(), self.K,
                 jnp.asarray(X), jnp.asarray(uv), jnp.asarray(pmask),
                 num_hypotheses=self.s.pnp_iters,
+                prior_R=jnp.asarray(cur.rotation, jnp.float32),
+                prior_t=jnp.asarray(cur.motion, jnp.float32),
             )
             new.rotation = np.asarray(pnp["R"], np.float64)
             new.motion = np.asarray(pnp["t"], np.float64)
@@ -355,7 +357,7 @@ class MainCycle:
         bound = cur.correspond >= 0
         Xold = self.arena.points[np.where(bound, cur.correspond, 0)]
         e_old, z_old = _reproj(new.rotation, new.motion, Xold, uv2)
-        prop_ok = (e_old < gate_px) & (z_old > 0)
+        prop_ok = (e_old < 2.0 * gate_px) & (z_old > 0)
         return new_ok, prop_ok
 
     def _ba_and_flush(self, processed: list[TemporalFrameData], gd: GlobalData, timer):

@@ -259,53 +259,57 @@ class DeviceEngine:
                 break
             if self._win_fill >= self.cfg.window:
                 self._flush_window(gd, timer)
-            # fused match+select+track: ONE dispatch + ONE tiny download
-            order = np.zeros(B, np.int32)
-            omask = np.zeros(B, bool)
-            nb = min(len(self.batch), B)
-            order[:nb] = self.batch[:nb]
-            omask[:nb] = True
-            t_match = ChronoTimer()
-            self.state, packed = steps.advance_step(
-                self.cfg, self.state, jnp.asarray(order), jnp.asarray(omask),
-                jnp.asarray(self._win_fill, jnp.int32), self._next_key())
+            # windowed device loop: up to (window - win_fill) frames tracked
+            # in ONE dispatch + ONE ~1KB download
+            T = self.cfg.window - self._win_fill
+            queue = np.zeros(B, np.int32)
+            nq = min(len(self.batch), B)
+            queue[:nq] = self.batch[:nq]
+            self._key, *subs = jax.random.split(self._key, T + 1)
+            keys = jnp.stack(subs)
+            t_adv = ChronoTimer()
+            self.state, packed, _qh, _ql = steps.advance_window(
+                self.cfg, self.state, jnp.asarray(queue),
+                jnp.asarray(0, jnp.int32), jnp.asarray(nq, jnp.int32),
+                jnp.asarray(self._win_fill, jnp.int32), keys, T)
             packed = np.asarray(packed)
-            found = packed[0] > 0.5
-            pos = int(packed[1])
             if self.logs:
-                # reference: "Matching time for index i : ms" (batch.cpp:155)
-                self.logs.time.write(
-                    f"Matching time for index {pos if found else -1}")
-                t_match.print_start_delta(": ", self.logs.time)
-            counts = packed[20:20 + B].astype(np.int64)
-            if self.logs:
-                for bi in range(nb - 1, self.cfg.skip_from_head - 1, -1):
-                    self.logs.main.write(
-                        f"Batch index: {bi}; matched {int(counts[bi])}\n")
-            if not found:
+                self.logs.time.write(f"Matching time for window of {T}")
+                t_adv.print_start_delta(": ", self.logs.time)
+
+            stop = None
+            for tstep in range(T):
+                row = packed[tstep]
+                if row[0] < 0.5:          # inactive: queue drained
+                    break
+                if row[1] < 0.5:          # FRAME_NOT_FOUND
+                    stop = "interrupted"
+                    if self.logs:
+                        self.logs.main.write(
+                            "No good frames in batch. Interrupt video processing\n")
+                    break
+                good = int(row[2])
+                slot = self._consume_through(good)
+                self._release(slot)
+                ok, n_corr, n_inl, n_new, n_matches, R, t = self._unpack(row[4:21])
+                if not ok:
+                    stop = "interrupted"
+                    if self.logs:
+                        self.logs.main.write(
+                            "Not enough corresponding points for solvePnP RANSAC\n")
+                    break
                 if self.logs:
                     self.logs.main.write(
-                        "No good frames in batch. Interrupt video processing\n")
-                status = "interrupted"
+                        f"Batch index: {good}; matched {int(row[3])}\n"
+                        f"Used in solvePnP: {n_corr}\n")
+                self._log_pose(R, t)
+                self.trajectory_R.append(R)
+                self.trajectory_t.append(t)
+                self._win_fill += 1
+                self.frames_accepted += 1
+            if stop is not None:
+                status = stop
                 break
-            slot = self._consume_through(pos)
-            self._release(slot)
-            ok, n_corr, n_inl, n_new, n_matches, R, t = self._unpack(packed[3:20])
-            if not ok:
-                if self.logs:
-                    self.logs.main.write(
-                        "Not enough corresponding points for solvePnP RANSAC\n")
-                status = "interrupted"
-                break
-            if self.logs:
-                self.logs.main.write(f"Used in solvePnP: {n_corr}\n")
-                timer.print_last_point_delta("Tracking step: ", self.logs.time)
-                timer.update_last_point()
-            self._log_pose(R, t)
-            self.trajectory_R.append(R)
-            self.trajectory_t.append(t)
-            self._win_fill += 1
-            self.frames_accepted += 1
 
         self._flush_window(gd, timer)
         last_pose = None

@@ -248,7 +248,8 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
     ok = n_corr >= 4
 
     pnp = solve_pnp_ransac(key, K, Xh, uvh, pm, num_hypotheses=cfg.pnp_iters,
-                           reproj_threshold_px=cfg.reproj_gate_px)
+                           reproj_threshold_px=cfg.reproj_gate_px,
+                           prior_R=state.pose_R, prior_t=state.pose_t)
     Rn, tn = pnp["R"], pnp["t"]
 
     # triangulate all matches vs prev frame
@@ -262,7 +263,10 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
     e_old, z_old = (lambda Xc: (jnp.linalg.norm(
         (Xc @ K.T)[:, :2] / jnp.maximum(jnp.abs((Xc @ K.T)[:, 2:3]), 1e-9)
         - uv2, axis=1), Xc[:, 2]))(Xh @ Rn.T + tn)
-    prop_ok = (e_old < cfg.reproj_gate_px) & (z_old > 0)
+    # softer gate than new-landmark creation: a momentarily imprecise pose
+    # must not strip existing bindings (that spiral is worse than keeping a
+    # few loose ones — BA's robust loss handles those)
+    prop_ok = (e_old < 2.0 * cfg.reproj_gate_px) & (z_old > 0)
 
     add_mask = mask & (state.prev_corr < 0) & verified & ok
     colors = state.ring_colors[slot][train_s]
@@ -406,3 +410,83 @@ def advance_step(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
     ])
     packed = jnp.concatenate([head, out, counts.astype(jnp.float32)])
     return state_out, packed
+
+
+# ----------------------------------------------------- windowed device loop
+@partial(jax.jit, static_argnames=("cfg", "t_steps"),
+         donate_argnums=(1,))
+def advance_window(cfg: EngineConfig, state: TrackerState,
+                   queue: jnp.ndarray, q_head: jnp.ndarray,
+                   q_len: jnp.ndarray, win_fill: jnp.ndarray,
+                   keys: jnp.ndarray, t_steps: int):
+    """Process up to ``t_steps`` frames in ONE dispatch via a device loop.
+
+    The candidate queue (ring-slot ids, circular over Q entries) is consumed
+    on device exactly like the per-frame path: each scan step matches the
+    previous frame against the remaining queue, applies the good-frame rule,
+    and tracks the winner.  The loop goes inactive (idempotent no-op) once a
+    frame is not found / PnP fails (the reference's break) or the BA window
+    fills.  One ~1 KB download replaces up to F round-trips — the host sync
+    cost per frame drops from ~28 ms to ~28/F ms.
+
+    Returns (state', packed [t_steps, 22], q_head', q_len').
+    packed[t] = [stepped, found, good_pos, count_good, ok, n_corr, n_inl,
+                 n_new, n_matches, R(9), t(3), win_pos]."""
+    Q = queue.shape[0]
+    fcfg = _frontend_cfg(cfg)
+    iota_q = jnp.arange(Q, dtype=jnp.int32)
+
+    def body(carry, key):
+        state, q_head, q_len, win_pos, alive = carry
+        active = alive & (q_len > 0) & (win_pos < cfg.window)
+
+        order_idx = (q_head + iota_q) % Q
+        order = queue[order_idx]
+        order_mask = (iota_q < q_len) & active
+
+        res = fe.match_against_batch(
+            fcfg, state.prev_desc, state.prev_valid,
+            state.ring_desc[order], state.ring_valid[order], order_mask)
+        counts = res["num_matches"].astype(jnp.int32)
+        eligible = (iota_q >= cfg.skip_from_head) & order_mask & (
+            counts >= cfg.required_matched)
+        any_ok = eligible.any()
+        if cfg.use_first_fit:
+            good = jnp.max(jnp.where(eligible, iota_q, -1))
+        else:
+            best = jnp.max(jnp.where(eligible, counts, -1))
+            good = jnp.argmax(jnp.where(eligible, counts, -1) == best
+                              ).astype(jnp.int32)
+        good = jnp.where(any_ok, good, 0)
+        found = any_ok & active
+
+        slot = order[good]
+        train = res["train_idx"][good]
+        mask = res["is_match"][good] & found
+        state2, out = _track_core(cfg, state, slot, train, mask, win_pos, key)
+        ok = out[0] > 0.5
+        accept = found & ok
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), state2, state)
+
+        q_head = jnp.where(found, (q_head + good + 1) % Q, q_head)
+        q_len = jnp.where(found, q_len - good - 1, q_len)
+        win_pos = jnp.where(accept, win_pos + 1, win_pos)
+        alive = alive & found & ok
+
+        packed = jnp.concatenate([
+            jnp.stack([
+                active.astype(jnp.float32), found.astype(jnp.float32),
+                good.astype(jnp.float32),
+                jnp.where(found, counts[good], 0).astype(jnp.float32),
+            ]),
+            out,
+            win_pos.astype(jnp.float32)[None],
+        ])
+        return (state, q_head, q_len, win_pos, alive), packed
+
+    carry0 = (state, q_head.astype(jnp.int32), q_len.astype(jnp.int32),
+              win_fill.astype(jnp.int32), jnp.asarray(True))
+    (state, q_head, q_len, win_pos, _), packed = jax.lax.scan(
+        body, carry0, keys, length=t_steps)
+    return state, packed, q_head, q_len
