@@ -167,6 +167,7 @@ class TpuConfig:
     window_points: int = 1 << 14    # per-BA-window observed-point capacity
     use_pallas: bool = True         # Pallas fast paths (falls back to jnp off-TPU)
     device_runtime: bool = True     # device-resident engine (False = classic host conductor)
+    descriptor_downscale: int = 1   # SIFT dense maps at 1/d resolution (2 for FHD)
     mesh_shape: tuple = ()          # () = single device; e.g. (2, 4) hosts×chips
     dtype: str = "float32"          # compute dtype for geometry (descriptors bf16-able)
 

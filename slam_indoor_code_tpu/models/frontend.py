@@ -30,11 +30,13 @@ class FrontendConfig:
     descriptor: str = "sift"   # 'sift' | 'orb'
     ratio: float = 0.7
     metric: str = "l2"         # 'l2' | 'l1' | 'hamming'
+    descriptor_downscale: int = 1  # sift dense maps at 1/d resolution
 
 
-def _describe(kind: str, gray, xy, valid):
-    mod = orb if kind == "orb" else sift
-    return mod.describe(gray, xy, valid)
+def _describe(cfg: "FrontendConfig", gray, xy, valid):
+    if cfg.descriptor == "orb":
+        return orb.describe(gray, xy, valid)
+    return sift.describe(gray, xy, valid, downscale=cfg.descriptor_downscale)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -45,7 +47,7 @@ def extract_and_describe(cfg: FrontendConfig, rgb: jnp.ndarray):
     num_corners scalar."""
     gray = image.rgb_to_gray(rgb)
     det = fast.detect(gray, cfg.threshold, cfg.max_keypoints)
-    d = _describe(cfg.descriptor, gray, det["xy"], det["valid"])
+    d = _describe(cfg, gray, det["xy"], det["valid"])
     colors = image.extract_patch_colors(rgb, det["xy"])
     return {
         "xy": det["xy"],
@@ -98,4 +100,5 @@ def frontend_config_from(cfg) -> FrontendConfig:
         descriptor=cfg.descriptor_kind,
         ratio=float(cfg.knnMatcherDistance),
         metric=cfg.match_metric,
+        descriptor_downscale=cfg.tpu.descriptor_downscale,
     )

@@ -90,24 +90,38 @@ def _dominant_orientation(hist: jnp.ndarray) -> jnp.ndarray:
     return (bin_center / ORI_BINS) * 2.0 * jnp.pi - jnp.pi
 
 
-@partial(jax.jit, static_argnames=())
-def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
+@partial(jax.jit, static_argnames=("downscale",))
+def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
+             downscale: int = 1):
     """SIFT descriptors for K keypoints of one [H,W] frame.
+
+    ``downscale`` computes the dense orientation-energy maps at 1/d
+    resolution (d×d mean pooling) — the maps are smooth, so descriptor
+    quality barely moves while the dense work shrinks ×d² (matters at FHD).
 
     Returns dict: desc [K,128] float32 (L2-normalized, 0.2-clipped),
     angle [K], valid [K]."""
-    pooled = orientation_energy_maps(gray)          # [H,W,8]
+    if downscale > 1:
+        d = downscale
+        H, W = gray.shape
+        Hc, Wc = (H // d) * d, (W // d) * d
+        small = gray[:Hc, :Wc].reshape(Hc // d, d, Wc // d, d).mean((1, 3))
+        pooled = orientation_energy_maps(small)     # [H/d,W/d,8]
+        scale = 1.0 / d
+    else:
+        pooled = orientation_energy_maps(gray)      # [H,W,8]
+        scale = 1.0
 
     # orientation from the pooled stack at the keypoint itself
-    h_kp = sample_maps(pooled, xy)                  # [K,8]
+    h_kp = sample_maps(pooled, xy * scale)          # [K,8]
     theta = _dominant_orientation(h_kp)
     c, s = jnp.cos(theta), jnp.sin(theta)
 
-    # rotated 4×4 cell centers, nearest-sampled: [K,16,8]
+    # rotated 4×4 cell centers, bilinear-sampled: [K,16,8]
     offs = jnp.asarray(_OFFSETS)
     rx = c[:, None] * offs[None, :, 0] - s[:, None] * offs[None, :, 1]
     ry = s[:, None] * offs[None, :, 0] + c[:, None] * offs[None, :, 1]
-    coords = jnp.stack([rx, ry], axis=-1) + xy[:, None, :]
+    coords = (jnp.stack([rx, ry], axis=-1) + xy[:, None, :]) * scale
     samples = sample_maps_bilinear(pooled, coords)  # [K,16,8]
 
     # rotate orientation bins by θ with circular linear interpolation
@@ -132,4 +146,5 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
     return {"desc": desc, "angle": theta, "valid": valid}
 
 
-describe_batch = jax.vmap(describe, in_axes=(0, 0, 0))
+def describe_batch(gray, xy, valid, downscale: int = 1):
+    return jax.vmap(lambda g, x, v: describe(g, x, v, downscale))(gray, xy, valid)

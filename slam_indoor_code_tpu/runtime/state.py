@@ -32,6 +32,7 @@ class EngineConfig:
     descriptor: str = "sift"
     ratio: float = 0.7
     metric: str = "l2"
+    descriptor_downscale: int = 1
     # scheduler rule
     required_matched: int = 100
     skip_from_head: int = 0
@@ -72,6 +73,7 @@ class EngineConfig:
             descriptor=cfg.descriptor_kind,
             ratio=float(cfg.knnMatcherDistance),
             metric=cfg.match_metric,
+            descriptor_downscale=cfg.tpu.descriptor_downscale,
             use_undistortion=cfg.useUndistortion,
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,

@@ -40,6 +40,7 @@ def _frontend_cfg(cfg: EngineConfig) -> fe.FrontendConfig:
     return fe.FrontendConfig(
         max_keypoints=cfg.max_keypoints, threshold=cfg.threshold,
         descriptor=cfg.descriptor, ratio=cfg.ratio, metric=cfg.metric,
+        descriptor_downscale=cfg.descriptor_downscale,
     )
 
 

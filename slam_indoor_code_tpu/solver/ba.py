@@ -135,11 +135,16 @@ def bundle_adjust_window(
     pid = point_idx.reshape(O).astype(jnp.int32)
     m_obs = obs_mask.reshape(O)
     if cfg.obs_cap and cfg.obs_cap < O:
-        # valid-first compaction: keypoint slots are mostly padding, and the
-        # per-observation jacfwd dominates the solve.  Overflowing valid
-        # observations (rare: needs > obs_cap bound features) are dropped;
-        # the caller sees the true count in info["num_residuals"].
-        order = jnp.argsort(jnp.logical_not(m_obs), stable=True)[: cfg.obs_cap]
+        # Valid-first compaction: keypoint slots are mostly padding, and the
+        # per-observation jacfwd dominates the solve.  The tiebreak is
+        # ROUND-ROBIN across frames (slot-major), so when valid observations
+        # overflow the cap every frame keeps its strongest-slot share — a
+        # frame-major order would silently drop entire frames and leave
+        # their poses unconstrained.
+        slot_in_frame = jnp.arange(O, dtype=jnp.int32) % Kslots
+        rr = slot_in_frame * F + f_of_obs
+        key_sort = jnp.where(m_obs, rr, O + rr)
+        order = jnp.argsort(key_sort)[: cfg.obs_cap]
         f_of_obs = f_of_obs[order]
         uv_flat = uv_flat[order]
         pid = pid[order]

@@ -141,3 +141,20 @@ def test_match_batch_counts(rng):
     m2 = knn.match_batch(a, jnp.ones(32, bool), b, vb, jnp.asarray([True, False]),
                          ratio=0.7, metric="l2")
     assert int(np.asarray(m2["num_matches"])[1]) == 0
+
+
+def test_sift_downscale_quality(scene):
+    """Half-res dense maps keep cross-view match quality (the FHD fast path)."""
+    import jax.numpy as jnp
+
+    def dd(i, ds):
+        g = jnp.asarray(image.rgb_to_gray(jnp.asarray(scene.render(i))))
+        det = fast.detect(g, 20.0, 512)
+        d = sift.describe(g, det["xy"], det["valid"], downscale=ds)
+        return det, d
+
+    det0, d0 = dd(0, 2)
+    det1, d1 = dd(1, 2)
+    m = knn.match_pair(d0["desc"], d0["valid"], d1["desc"], d1["valid"],
+                       ratio=0.8, metric="l2")
+    assert int(m["num_matches"]) > 40
