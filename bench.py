@@ -57,7 +57,7 @@ def run_pipeline(scene, frames, outdir, ba=True):
         BAUseHuberLossFunction=True,
         BAHuberLossFunctionParameter=2.0,
         tpu=TpuConfig(max_keypoints=2048, ransac_iters=1024,
-                      pnp_ransac_iters=256, window_points=4096,
+                      pnp_ransac_iters=256, window_points=1 << 14,
                       ba_max_iters=15),
     )
     return slam_main(cfg, scene.K, frames=frames), cfg

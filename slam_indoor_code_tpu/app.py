@@ -164,3 +164,42 @@ def run_from_config(cfg: Config, frames=None) -> GlobalData:
         return load_global_data_from_logs(cfg.outputDataDir)
     K, _dc = load_calibration(cfg)
     return slam_main(cfg, K, frames=frames)
+
+
+def run_sequences_parallel(cfgs: list, Ks: list, frames_list: list | None = None,
+                           seeds: list | None = None) -> list:
+    """Multi-sequence data parallelism: run independent sequences
+    concurrently, one device per sequence (BASELINE config #5 at single-host
+    scale; across hosts each process runs its own shard of sequences and the
+    DCN never sees per-frame traffic — sequences are embarrassingly
+    parallel, exactly like the reference's independent sub-maps).
+
+    Each worker pins its engine's arrays to a device via
+    ``jax.default_device``; results are the per-sequence GlobalData."""
+    import threading
+
+    import jax as _jax
+
+    devs = _jax.devices()
+    n = len(cfgs)
+    results: list = [None] * n
+    errors: list = [None] * n
+
+    def worker(i):
+        try:
+            with _jax.default_device(devs[i % len(devs)]):
+                frames = frames_list[i] if frames_list else None
+                seed = seeds[i] if seeds else i
+                results[i] = slam_main(cfgs[i], Ks[i], frames=frames, seed=seed)
+        except Exception as e:  # noqa: BLE001 — surface per-sequence failures
+            errors[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, e in enumerate(errors):
+        if e is not None:
+            raise RuntimeError(f"sequence {i} failed") from e
+    return results

@@ -332,6 +332,10 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
     pmask = uids < BIG
     local = jnp.searchsorted(uids, sentinel).astype(jnp.int32)
     local = jnp.where(obs_mask, jnp.minimum(local, Pw - 1), 0)
+    # When the window holds more unique landmarks than Pw, jnp.unique's size
+    # cap drops the overflow ids — observations of a dropped landmark must be
+    # masked out, NOT clamp-aliased onto whatever landmark sits at the edge.
+    obs_mask = obs_mask & (uids[local] == sentinel)
     pts = state.map_points[jnp.where(pmask, uids, 0)]
 
     bacfg = BAConfig(loss=cfg.ba_loss, loss_param=cfg.ba_loss_param,

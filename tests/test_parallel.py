@@ -104,3 +104,36 @@ def test_sharded_ba_improves_poses(mesh, scene):
         Rerr = R @ scene.rotations[f].T
         ang = np.degrees(np.arccos(np.clip((np.trace(Rerr) - 1) / 2, -1, 1)))
         assert ang < 0.3
+
+
+def test_multi_sequence_parallel(tmp_path):
+    """Two independent sequences tracked concurrently on separate devices of
+    the virtual mesh (BASELINE config #5, single-host scale)."""
+    from slam_indoor_code_tpu.app import run_sequences_parallel
+    from slam_indoor_code_tpu.config import Config, TpuConfig
+    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
+    from slam_indoor_code_tpu.metrics.ate import camera_centers
+    from slam_indoor_code_tpu.testing import make_scene
+
+    scenes = [make_scene(500, 10, seed=s, baseline=0.3, kind="hallway",
+                         image_size=(120, 160)) for s in (1, 2)]
+    cfgs, Ks, frames = [], [], []
+    for i, sc in enumerate(scenes):
+        cfgs.append(Config(
+            usePhotosCycle=True, outputDataDir=str(tmp_path / f"seq{i}"),
+            requiredExtractedPointsCount=40, featureExtractingThreshold=15,
+            framesBatchSize=5, requiredMatchedPointsCount=20,
+            knnMatcherDistance=0.85, RPDistanceThreshold=500.0,
+            tpu=TpuConfig(max_keypoints=256, ransac_iters=128,
+                          pnp_ransac_iters=64, window_points=1024)))
+        Ks.append(sc.K)
+        frames.append([sc.render(j) for j in range(10)])
+    out = run_sequences_parallel(cfgs, Ks, frames)
+    assert len(out) == 2
+    for sc, gd in zip(scenes, out):
+        assert len(gd.rotations) >= 6
+        est = camera_centers(gd.rotations, gd.positions)
+        gt = sc.centers()[: len(est)]
+        ate = absolute_trajectory_error(est, gt)
+        ext = np.linalg.norm(gt.max(0) - gt.min(0))
+        assert ate < 0.15 * ext

@@ -168,3 +168,26 @@ def test_matches_overlay_artifact(rt_scene, tmp_path):
                        np.asarray(rb["xy"]), np.asarray(m["train_idx"]),
                        np.asarray(m["is_match"]))
     assert out.stat().st_size > 5000
+
+
+def test_ba_window_point_overflow_masked(rt_scene, tmp_path):
+    """When a window holds more landmarks than window_points, overflow
+    observations must be dropped, not aliased (regression: clamped
+    searchsorted corrupted BA constraints and wrecked long trajectories)."""
+    cfg = _cfg(tmp_path, True, useBundleAdjustment=True, BAMaxFramesCnt=6,
+               BAUseHuberLossFunction=True, BAHuberLossFunctionParameter=2.0)
+    # tiny landmark capacity: every window overflows
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, tpu=dataclasses.replace(cfg.tpu, window_points=256))
+    frames = [rt_scene.render(i) for i in range(14)]
+    gd = slam_main(cfg, rt_scene.K, frames=frames)
+    assert len(gd.rotations) >= 10
+    est = camera_centers(gd.rotations, gd.positions)
+    gt = rt_scene.centers()[: len(est)]
+    ate = absolute_trajectory_error(est, gt)
+    ext = np.linalg.norm(gt.max(0) - gt.min(0))
+    # BA covers only part of the map, but must not make things WORSE than
+    # pose-chaining (the aliasing bug produced >15% here)
+    assert ate < 0.1 * ext, f"ATE {ate/ext:.3f} of extent"
