@@ -71,7 +71,7 @@ def slam_main(cfg: Config, K: np.ndarray, frames=None, seed: int = 0) -> GlobalD
         ba_fn = WindowedBA(
             loss=loss, loss_param=param, max_iters=cfg.tpu.ba_max_iters,
             window=cfg.BAMaxFramesCnt, window_points=cfg.tpu.window_points,
-            report=logs.main,
+            report=logs.main, adjust_intrinsics=cfg.tpu.ba_adjust_intrinsics,
         )
 
     global_data = GlobalData()

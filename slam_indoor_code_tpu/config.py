@@ -163,6 +163,9 @@ class TpuConfig:
     ransac_iters: int = 1024        # essential-matrix hypotheses scored at once
     pnp_ransac_iters: int = 256     # PnP hypotheses scored at once
     ba_max_iters: int = 30          # LM iterations per window
+    ba_adjust_intrinsics: bool = False  # optimize shared K in BA (the reference
+    #                                     does; free K lets windowed BA drift the
+    #                                     monocular scale, so default off)
     max_map_points: int = 1 << 18   # global map arena capacity
     window_points: int = 1 << 14    # per-BA-window observed-point capacity
     use_pallas: bool = True         # Pallas fast paths (falls back to jnp off-TPU)

@@ -51,6 +51,7 @@ class EngineConfig:
     ba_loss_param: float = 1.0
     ba_iters: int = 25
     ba_obs_cap: int = 4096
+    ba_adjust_intrinsics: bool = False
 
     @property
     def desc_dim(self) -> int:
@@ -87,6 +88,7 @@ class EngineConfig:
             ba_loss=loss,
             ba_loss_param=float(param),
             ba_iters=cfg.tpu.ba_max_iters,
+            ba_adjust_intrinsics=cfg.tpu.ba_adjust_intrinsics,
         )
 
 

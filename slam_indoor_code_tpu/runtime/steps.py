@@ -339,7 +339,8 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
     pts = state.map_points[jnp.where(pmask, uids, 0)]
 
     bacfg = BAConfig(loss=cfg.ba_loss, loss_param=cfg.ba_loss_param,
-                     max_iters=cfg.ba_iters, obs_cap=cfg.ba_obs_cap)
+                     max_iters=cfg.ba_iters, obs_cap=cfg.ba_obs_cap,
+                     fix_intrinsics=not cfg.ba_adjust_intrinsics)
     K4f, camsf, ptsf, info = bundle_adjust_window(
         bacfg, state.K4, state.win_cams, pts, state.win_xy, local,
         obs_mask, pmask,

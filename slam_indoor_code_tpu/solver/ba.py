@@ -285,9 +285,10 @@ class WindowedBA:
 
     def __init__(self, loss: str = "trivial", loss_param: float = 1.0,
                  max_iters: int = 25, window: int = 8, window_points: int = 1 << 14,
-                 report=None):
+                 report=None, adjust_intrinsics: bool = False):
         self.cfg = BAConfig(loss=loss, loss_param=float(loss_param),
-                            max_iters=int(max_iters))
+                            max_iters=int(max_iters),
+                            fix_intrinsics=not adjust_intrinsics)
         self.window = int(window)
         self.window_points = int(window_points)
         self.report = report
