@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import fast, image, knn, orb, sift
 
@@ -64,6 +65,67 @@ def extract_and_describe_batch(cfg: FrontendConfig, rgb_batch: jnp.ndarray):
     """[B,H,W,3] → batched keypoints/descriptors (one compiled program for the
     whole candidate batch — the reference's fillVideoFrameBatch+thread pool)."""
     return jax.vmap(lambda f: extract_and_describe(cfg, f))(rgb_batch)
+
+
+def pack_frames(frames, color_downscale: int = 4):
+    """Host-side ingest payload packer: RGB uint8 frames → (gray [C,H,W] u8,
+    rgb_small [C,H/d,W/d,3] u8).
+
+    Keypoint colors only feed visualization (saveFrameColorOfKeyPoint,
+    mainCycleInternals.cpp:28-35), so the color plane travels at 1/d
+    resolution — the full-RGB upload was the single largest byte stream in
+    the pipeline and the host↔device link is the end-to-end bottleneck.
+    Gray uses OpenCV's fixed-point BT.601 weights (77,150,29)/256 so device
+    detection matches the reference's cvtColor within ±1 intensity level."""
+    d = color_downscale
+    gray = np.empty((len(frames),) + frames[0].shape[:2], np.uint8)
+    small = np.empty((len(frames), frames[0].shape[0] // d,
+                      frames[0].shape[1] // d, 3), np.uint8)
+    for i, f in enumerate(frames):
+        # in-place uint16 accumulation: ~2x faster than the vectorized
+        # expression (no wide temporaries)
+        acc = f[..., 0].astype(np.uint16)
+        acc *= 77
+        g = f[..., 1].astype(np.uint16)
+        g *= 150
+        acc += g
+        b = f[..., 2].astype(np.uint16)
+        b *= 29
+        acc += b
+        acc += 128
+        acc >>= 8
+        gray[i] = acc.astype(np.uint8)
+        small[i] = f[: small.shape[1] * d : d, : small.shape[2] * d : d]
+    return gray, small
+
+
+def _extract_and_describe_gray(cfg: FrontendConfig, gray_u8: jnp.ndarray,
+                               rgb_small: jnp.ndarray, color_downscale: int):
+    """One packed frame (gray [H,W] u8 + rgb_small [h,w,3] u8) → keypoints +
+    descriptors + colors (same contract as extract_and_describe)."""
+    gray = gray_u8.astype(jnp.float32)
+    det = fast.detect(gray, cfg.threshold, cfg.max_keypoints)
+    d = _describe(cfg, gray, det["xy"], det["valid"])
+    colors = image.extract_patch_colors(
+        rgb_small, det["xy"] / float(color_downscale))
+    return {
+        "xy": det["xy"],
+        "valid": det["valid"],
+        "score": det["score"],
+        "desc": d["desc"],
+        "colors": colors,
+        "num_corners": det["num_corners"],
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "color_downscale"))
+def extract_and_describe_gray_batch(cfg: FrontendConfig, gray_u8: jnp.ndarray,
+                                    rgb_small: jnp.ndarray,
+                                    color_downscale: int = 4):
+    """[C,H,W] u8 + [C,h,w,3] u8 → batched keypoints/descriptors.  The
+    packed-payload twin of extract_and_describe_batch (see pack_frames)."""
+    return jax.vmap(lambda g, s: _extract_and_describe_gray(
+        cfg, g, s, color_downscale))(gray_u8, rgb_small)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -37,6 +37,13 @@ class DeviceEngine:
         self._key = jax.random.PRNGKey(seed)
         self._free = list(range(cfg.ring))
         self.batch: list[int] = []      # ring slots in batch order (head first)
+        self._staged: list = []         # futures of (slots, n, gray, small)
+        self._pending: list = []        # dispatched ingests: (slots, n, counts)
+        from concurrent.futures import ThreadPoolExecutor
+
+        # one packer thread: numpy packing releases the GIL and device_put is
+        # thread-safe, so payload prep+upload rides alongside tracking compute
+        self._packer = ThreadPoolExecutor(max_workers=1)
         self._media_over = False
         self._win_fill = 0
         self.trajectory_R: list[np.ndarray] = []   # flushed (post-BA) poses
@@ -62,42 +69,95 @@ class DeviceEngine:
         return bool(ok > 0.5), int(n_corr), int(n_inl), int(n_new), int(n_matches), R, t
 
     # ------------------------------------------------------------------ fill
+    #
+    # Staged-upload pipeline: the host↔device link is the end-to-end
+    # bottleneck (measured ~15-55 MB/s through the remote tunnel), so frame
+    # payloads are device_put EARLY (transfer rides the wire in the
+    # background) while the ingest compute is dispatched LATE (so tracking
+    # dispatches never queue behind a transfer that isn't needed yet).
+
+    def _stage_chunk(self) -> bool:
+        """Decode the next chunk and start its async upload; reserves ring
+        slots immediately.  Returns False when no frame was staged."""
+        C = self.cfg.fill_chunk
+        if self._media_over or len(self._free) < C:
+            return False
+        chunk = []
+        while len(chunk) < C:
+            f = self.media.next_frame()
+            if f is None:
+                self._media_over = True
+                break
+            chunk.append(f)
+        if not chunk:
+            return False
+        n = len(chunk)
+        chunk = chunk + [chunk[-1]] * (C - n)  # padded lanes land in slots
+        slots = np.array(self._free[:C], np.int32)
+        self._free = self._free[C:]
+
+        def pack_and_put():
+            from ..models.frontend import pack_frames
+
+            gray, small = pack_frames(chunk, self.cfg.color_downscale)
+            # device_put returns immediately; the transfer proceeds while
+            # the device works through earlier dispatches
+            return slots, n, jnp.asarray(gray), jnp.asarray(small)
+
+        self._staged.append(self._packer.submit(pack_and_put))
+        return True
+
+    def _dispatch_ingest(self) -> bool:
+        """Dispatch ingest compute for the oldest staged chunk; its counts
+        download is collected LATER (one cycle behind) so the extraction-gate
+        sync overlaps tracking/BA instead of stalling the fill."""
+        if not self._staged:
+            return False
+        slots, n, gray, small = self._staged.pop(0).result()
+        self.state, counts = steps.ingest(
+            self.cfg, self.state, gray, small, jnp.asarray(slots))
+        self._pending.append((slots, n, counts))
+        return True
+
+    def _collect_ingest(self) -> bool:
+        """Admit the oldest dispatched chunk's frames (syncs its counts —
+        cheap when the ingest ran during the previous tracking cycle)."""
+        if not self._pending:
+            return False
+        slots, n, counts = self._pending.pop(0)
+        counts = np.asarray(counts)[:n]
+        for i in range(n):
+            if counts[i] >= self.required_extracted:
+                self.batch.append(int(slots[i]))
+            else:
+                self._free.append(int(slots[i]))
+        for s in slots[n:]:  # padded lanes go straight back
+            self._free.append(int(s))
+        if self.logs:
+            self.logs.main.write(
+                "Features count in frames added to batch: "
+                + " ".join(str(int(c)) for c in counts
+                           if c >= self.required_extracted)
+                + f"\nBatch size: {len(self.batch)}\n")
+        return True
+
     def fill(self) -> None:
         t0 = ChronoTimer()
         filled = False
-        C = self.cfg.fill_chunk
-        while (len(self.batch) < self.batch_size and not self._media_over
-               and len(self._free) >= C):
-            chunk = []
-            while len(chunk) < C:
-                f = self.media.next_frame()
-                if f is None:
-                    self._media_over = True
-                    break
-                chunk.append(f)
-            if not chunk:
+        while len(self.batch) < self.batch_size:
+            # keep the wire fed before any blocking download
+            while len(self._staged) < 2 and self._stage_chunk():
+                pass
+            if not self._pending and not self._dispatch_ingest():
                 break
-            n = len(chunk)
-            pad = C - n
-            stacked = np.stack(chunk + [chunk[-1]] * pad)
-            slots = np.array(self._free[:C], np.int32)  # padded writes land
-            # in soon-to-be-reused slots; only the first n are admitted
-            self.state, counts = steps.ingest(
-                self.cfg, self.state, jnp.asarray(stacked), jnp.asarray(slots))
-            counts = np.asarray(counts)[:n]
+            self._collect_ingest()
             filled = True
-            taken = []
-            for i in range(n):
-                if counts[i] >= self.required_extracted:
-                    taken.append(int(slots[i]))
-                    self.batch.append(int(slots[i]))
-            # compact free list: remove slots now in batch
-            self._free = [s for s in self._free if s not in set(taken)]
-            if self.logs:
-                self.logs.main.write(
-                    "Features count in frames added to batch: "
-                    + " ".join(str(int(c)) for c in counts if c >= self.required_extracted)
-                    + f"\nBatch size: {len(self.batch)}\n")
+        # prefetch pipeline for the next cycle: one chunk's ingest in flight
+        # (runs while we track/BA) and one more chunk's bytes on the wire
+        while len(self._staged) < 2 and self._stage_chunk():
+            pass
+        if not self._pending:
+            self._dispatch_ingest()
         if filled and self.logs:
             # reference: "MS for batch's filling:" (batch.cpp:265)
             t0.print_start_delta("MS for batch's filling: ", self.logs.time)
@@ -116,44 +176,22 @@ class DeviceEngine:
 
     # ------------------------------------------------------------ main cycle
     def _find_first_good_frame(self, init_R, init_t) -> bool:
-        if self.batch:
-            slot = self._consume_through(0)
-            self.state = steps.set_prev_from_slot(
-                self.cfg, self.state, jnp.asarray(slot, jnp.int32),
-                jnp.asarray(init_R, jnp.float32), jnp.asarray(init_t, jnp.float32))
-            self._release(slot)
-            return True
-        C = self.cfg.fill_chunk
-        while not self._media_over:
-            chunk = []
-            while len(chunk) < C:
-                f = self.media.next_frame()
-                if f is None:
-                    self._media_over = True
-                    break
-                chunk.append(f)
-            if not chunk:
-                return False
-            pad = C - len(chunk)
-            stacked = np.stack(chunk + [chunk[-1]] * pad)
-            slots = np.array(self._free[:C], np.int32)
-            self.state, counts = steps.ingest(
-                self.cfg, self.state, jnp.asarray(stacked), jnp.asarray(slots))
-            counts = np.asarray(counts)[: len(chunk)]
-            good = np.flatnonzero(counts >= self.required_extracted)
-            if len(good) == 0:
+        while True:
+            if self.batch:
+                slot = self._consume_through(0)
+                self.state = steps.set_prev_from_slot(
+                    self.cfg, self.state, jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(init_R, jnp.float32),
+                    jnp.asarray(init_t, jnp.float32))
+                self._release(slot)
+                return True
+            if self._pending:
+                self._collect_ingest()
                 continue
-            first = int(slots[good[0]])
-            self.state = steps.set_prev_from_slot(
-                self.cfg, self.state, jnp.asarray(first, jnp.int32),
-                jnp.asarray(init_R, jnp.float32), jnp.asarray(init_t, jnp.float32))
-            # later passing frames in the chunk join the batch
-            for g in good[1:]:
-                s = int(slots[g])
-                self.batch.append(s)
-                self._free.remove(s)
-            return True
-        return False
+            if not self._staged and not self._stage_chunk():
+                return False
+            self._dispatch_ingest()
+            self._collect_ingest()
 
     def _match_select(self):
         B = self.batch_size + self.cfg.fill_chunk
@@ -216,22 +254,21 @@ class DeviceEngine:
         if self.cfg.use_ba and self._win_fill >= 2:
             self.state, out = steps.ba_step(
                 self.cfg, self.state, jnp.asarray(self._win_fill, jnp.int32))
-            cams = np.asarray(out["cams"], np.float64)
-            rmse = np.asarray(out["rmse"])
+            out = np.asarray(out, np.float64)  # single ~1KB download
+            F = self.cfg.window
+            rmse = out[:2]
+            cams = out[4:4 + F * 6].reshape(F, 6)
+            Rmats = out[4 + F * 6:].reshape(F, 3, 3)
             if self.logs:
                 self.logs.main.write(
                     "Bundle Adjustment statistics (approximated RMSE):\n"
-                    f" #residuals: {int(np.asarray(out['num_residuals']))}\n"
+                    f" #residuals: {int(out[2])}\n"
                     f" Initial RMSE: {rmse[0]:.6f}\n"
                     f" Final RMSE: {rmse[1]:.6f}\n")
                 timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
                 timer.update_last_point()
-            from ..geometry.rotations import rodrigues_to_matrix
-
             for i in range(self._win_fill):
-                R = np.asarray(rodrigues_to_matrix(
-                    jnp.asarray(cams[i, :3], jnp.float32)), np.float64)
-                gd.append_cameras(R[None], cams[i, 3:][None])
+                gd.append_cameras(Rmats[i][None], cams[i, 3:][None])
         else:
             # no BA: poses were logged at acceptance; replay from logs-side
             # cache kept on host
@@ -333,4 +370,5 @@ class DeviceEngine:
 
     @property
     def media_exhausted(self) -> bool:
-        return self._media_over and not self.batch
+        return (self._media_over and not self.batch and not self._staged
+                and not self._pending)

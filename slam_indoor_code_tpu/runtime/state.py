@@ -33,6 +33,7 @@ class EngineConfig:
     ratio: float = 0.7
     metric: str = "l2"
     descriptor_downscale: int = 1
+    color_downscale: int = 4     # landmark-color plane at 1/d resolution
     # scheduler rule
     required_matched: int = 100
     skip_from_head: int = 0
@@ -66,7 +67,9 @@ class EngineConfig:
         loss, param = cfg.ba_loss
         return EngineConfig(
             max_keypoints=cfg.tpu.max_keypoints,
-            ring=cfg.framesBatchSize + 8,
+            # ring holds the live batch plus up to two staged (in-flight
+            # upload) chunks plus the admit scratch chunk
+            ring=cfg.framesBatchSize + 24,
             map_cap=cfg.tpu.max_map_points,
             window=cfg.BAMaxFramesCnt,
             window_points=cfg.tpu.window_points,

@@ -46,12 +46,14 @@ def _frontend_cfg(cfg: EngineConfig) -> fe.FrontendConfig:
 
 # ---------------------------------------------------------------- ingest
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def ingest(cfg: EngineConfig, state: TrackerState, rgb: jnp.ndarray,
-           slots: jnp.ndarray):
-    """Extract+describe a decoded chunk [C,H,W,3] and write it into ring
-    slots [C].  Returns (state, num_corners [C])."""
+def ingest(cfg: EngineConfig, state: TrackerState, gray_u8: jnp.ndarray,
+           rgb_small: jnp.ndarray, slots: jnp.ndarray):
+    """Extract+describe a packed chunk (gray [C,H,W] u8 + color plane
+    [C,H/d,W/d,3] u8 — see models.frontend.pack_frames) and write it into
+    ring slots [C].  Returns (state, num_corners [C])."""
     fcfg = _frontend_cfg(cfg)
-    res = fe.extract_and_describe_batch(fcfg, rgb)
+    res = fe.extract_and_describe_gray_batch(
+        fcfg, gray_u8, rgb_small, cfg.color_downscale)
     xy = res["xy"]
     if cfg.use_undistortion:
         # reference declares useUndistortion but never applies it (TODO
@@ -361,14 +363,17 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
         win_used=jnp.zeros_like(state.win_used),
         win_corr=jnp.full_like(state.win_corr, -1),
     )
-    out = {
-        "cams": camsf,
-        "used": state.win_used,  # cleared; host uses win_fill instead
-        "rmse": jnp.stack([info["initial_rmse"], info["final_rmse"]]),
-        "num_residuals": info["num_residuals"],
-        "K4": K4f,
-    }
-    return state, out
+    # ONE packed download: [rmse0, rmse1, num_res, n_iters, cams (F*6),
+    # Rmats (F*9)] — per-frame host-side rodrigues conversions each cost a
+    # full ~28 ms relay round-trip, so rotation matrices are produced here
+    packed = jnp.concatenate([
+        jnp.stack([info["initial_rmse"], info["final_rmse"],
+                   info["num_residuals"].astype(camsf.dtype),
+                   info["num_iters"].astype(camsf.dtype)]),
+        camsf.reshape(-1),
+        jax.vmap(lambda aa: rodrigues_to_matrix(aa))(camsf[:, :3]).reshape(-1),
+    ])
+    return state, packed
 
 
 # ------------------------------------------------------- fused frame advance

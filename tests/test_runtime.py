@@ -104,10 +104,13 @@ def test_engine_undistortion_applied(rt_scene):
                         batch_size=4, required_extracted=10, dist=dist)
     e_off = DeviceEngine(ArraySource(frames), rt_scene.K, cfg_off,
                          batch_size=4, required_extracted=10, dist=dist)
-    rgb = jnp.asarray(np.stack(frames * 8))
+    from slam_indoor_code_tpu.models.frontend import pack_frames
+
+    gray, small = pack_frames(frames * 8, cfg_on.color_downscale)
+    gray, small = jnp.asarray(gray), jnp.asarray(small)
     slots = jnp.arange(8, dtype=jnp.int32)
-    e_on.state, _ = steps.ingest(cfg_on, e_on.state, rgb, slots)
-    e_off.state, _ = steps.ingest(cfg_off, e_off.state, rgb, slots)
+    e_on.state, _ = steps.ingest(cfg_on, e_on.state, gray, small, slots)
+    e_off.state, _ = steps.ingest(cfg_off, e_off.state, gray, small, slots)
     xy_on = np.asarray(e_on.state.ring_xy[0])
     xy_off = np.asarray(e_off.state.ring_xy[0])
     v = np.asarray(e_off.state.ring_valid[0])
