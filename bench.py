@@ -73,10 +73,15 @@ def main():
     size = tuple(int(x) for x in os.environ.get("BENCH_SIZE", "1080x1920").split("x"))
     scene, frames = build_frames(n_frames, image_size=size)
 
-    # Warm-up: compile every program shape on a short prefix.
+    # Warm-up: full-coverage — run the entire measured workload once so every
+    # program (all T-step variants, final-flush BA, snapshot) is compiled
+    # before measurement.  A short-prefix warm-up leaves late-run programs
+    # compiling inside the measured window and under-reports throughput by
+    # ~3x through the remote-compile tunnel.  (The reference's timings also
+    # exclude build time.)
     log("warm-up (compilation) ...")
     t0 = time.perf_counter()
-    run_pipeline(scene, frames[:12], "/tmp/bench_out/warm")
+    run_pipeline(scene, frames, "/tmp/bench_out/warm")
     log(f"warm-up took {time.perf_counter() - t0:.1f}s")
 
     # Measured end-to-end run.
