@@ -57,7 +57,7 @@ def run_pipeline(scene, frames, outdir, ba=True):
         BAUseHuberLossFunction=True,
         BAHuberLossFunctionParameter=2.0,
         tpu=TpuConfig(max_keypoints=2048, ransac_iters=1024,
-                      pnp_ransac_iters=256, window_points=1 << 14,
+                      pnp_ransac_iters=128, window_points=4096,
                       ba_max_iters=15),
     )
     return slam_main(cfg, scene.K, frames=frames), cfg
@@ -95,13 +95,19 @@ def main():
     from slam_indoor_code_tpu.metrics.ate import camera_centers
 
     n_cams = len(gd.rotations)
-    ate = float("nan")
+    ate = ate_pct = float("nan")
     if n_cams >= 8:
         est = camera_centers(gd.rotations, gd.positions)
-        gt = scene.centers()[:n_cams]
+        # pair each camera with its SOURCE frame's ground truth — the
+        # scheduler may legally skip candidate frames (batch.cpp:93-98)
+        ids = gd.frame_ids if len(gd.frame_ids) == n_cams else np.arange(n_cams)
+        gt = scene.centers()[ids]
         ate = absolute_trajectory_error(est, gt)
+        extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+        ate_pct = 100.0 * ate / max(extent, 1e-9)
     log(f"{n_frames} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
-        f"cameras {n_cams}, map {len(gd.points)}, ATE {ate:.4f}")
+        f"cameras {n_cams}, map {len(gd.points)}, ATE {ate:.4f} "
+        f"({ate_pct:.1f}% of trajectory extent)")
 
     baseline_fps = 3.0  # reference CPU end-to-end anchor (BASELINE.md)
     print(json.dumps({

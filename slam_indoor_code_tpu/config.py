@@ -171,6 +171,12 @@ class TpuConfig:
     use_pallas: bool = True         # Pallas fast paths (falls back to jnp off-TPU)
     device_runtime: bool = True     # device-resident engine (False = classic host conductor)
     descriptor_downscale: int = 1   # SIFT dense maps at 1/d resolution (2 for FHD)
+    ingest: str = "auto"            # "device" | "host" | "auto": where FAST runs.
+    #                                 "host" uploads a pooled gray plane +
+    #                                 keypoints instead of full frames (the
+    #                                 slow-link path); "auto" picks by measured
+    #                                 link bandwidth at engine start
+    ingest_downscale: int = 2       # host-ingest pooled-gray factor
     mesh_shape: tuple = ()          # () = single device; e.g. (2, 4) hosts×chips
     dtype: str = "float32"          # compute dtype for geometry (descriptors bf16-able)
 

@@ -99,10 +99,18 @@ class GlobalData:
     colors: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.uint8))
     rotations: np.ndarray = field(default_factory=lambda: np.zeros((0, 3, 3), np.float64))
     positions: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float64))
+    # source frame index of each camera (the scheduler may legally skip
+    # candidate frames — batch.cpp:93-98 — so cameras ≠ frames; ATE harnesses
+    # need this to pair estimated cameras with ground-truth poses)
+    frame_ids: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.int64))
 
-    def append_cameras(self, rotations: np.ndarray, positions: np.ndarray) -> None:
+    def append_cameras(self, rotations: np.ndarray, positions: np.ndarray,
+                       frame_ids=None) -> None:
         self.rotations = np.concatenate([self.rotations, rotations.reshape(-1, 3, 3)])
         self.positions = np.concatenate([self.positions, positions.reshape(-1, 3)])
+        if frame_ids is not None:
+            self.frame_ids = np.concatenate(
+                [self.frame_ids, np.asarray(frame_ids, np.int64).reshape(-1)])
 
     def append_points(self, points: np.ndarray, colors: np.ndarray) -> None:
         if len(points) == 0:
@@ -117,7 +125,9 @@ class GlobalData:
         ``insertNewGlobalData``, mainCycleInternals.cpp:249-261)."""
         self.append_points(other.points, other.colors)
         if len(other.rotations):
-            self.append_cameras(other.rotations, other.positions)
+            self.append_cameras(other.rotations, other.positions,
+                                other.frame_ids if len(other.frame_ids) ==
+                                len(other.rotations) else None)
 
     @property
     def empty(self) -> bool:

@@ -128,6 +128,183 @@ def extract_and_describe_gray_batch(cfg: FrontendConfig, gray_u8: jnp.ndarray,
         cfg, g, s, color_downscale))(gray_u8, rgb_small)
 
 
+# --------------------------------------------------------------------------
+# Host-detect ingest: FAST on the host (the exact OpenCV detector the
+# reference wraps, fastExtractor.cpp:7-14), descriptors and everything
+# downstream on the device.
+#
+# Motivation: on a tunneled/remote accelerator the host→device link is the
+# end-to-end bottleneck (measured ~45 MB/s; an FHD gray+color payload is
+# ~2.5 MB/frame = an ~18 fps hard ceiling).  Detecting on the host lets the
+# payload shrink to a mean-pooled gray plane (feeds the dense SIFT/ORB maps,
+# which run at 1/2 resolution at FHD anyway), full-res keypoint coords, and
+# host-sampled keypoint colors — ~0.55 MB/frame.  The dense describe/match/
+# geometry path is unchanged and stays on the TPU.
+# --------------------------------------------------------------------------
+
+_CV2_FAST = {}
+
+
+def _cv2_fast(threshold: int, nms: bool = False):
+    import cv2
+
+    det = _CV2_FAST.get((threshold, nms))
+    if det is None:
+        det = cv2.FastFeatureDetector_create(
+            threshold=int(threshold), nonmaxSuppression=nms,
+            type=cv2.FAST_FEATURE_DETECTOR_TYPE_9_16)
+        _CV2_FAST[(threshold, nms)] = det
+    return det
+
+
+def _fast_scores_at(gray_f: np.ndarray, ys: np.ndarray, xs: np.ndarray,
+                    threshold: float) -> np.ndarray:
+    """OpenCV-style FAST-9/16 corner scores at arbitrary positions [N]
+    (numpy twin of ops.fast.fast_score_map, evaluated sparsely).  Positions
+    are assumed pre-clipped to [BORDER, dim-BORDER-1]; scores are gated to 0
+    below threshold, like the dense map."""
+    from ..ops.fast import ARC_LEN, RING_OFFSETS
+
+    rx = RING_OFFSETS[:, 0].astype(np.int64)
+    ry = RING_OFFSETS[:, 1].astype(np.int64)
+    vals = gray_f[ys[:, None] + ry[None, :], xs[:, None] + rx[None, :]]
+    d = vals - gray_f[ys, xs][:, None]                     # [N,16]
+    doubled = np.concatenate([d, d[:, : ARC_LEN - 1]], axis=1)
+
+    def _win9(x, op):
+        # min/max over 9 consecutive entries by doubling: 4 elementwise
+        # passes instead of a strided [N,16,9] reduction (~10× faster)
+        w2 = op(x[:, :-1], x[:, 1:])
+        w4 = op(w2[:, :-2], w2[:, 2:])
+        w8 = op(w4[:, :-4], w4[:, 4:])
+        return op(w8[:, :16], x[:, 8:])
+
+    bright = _win9(doubled, np.minimum).max(-1)
+    dark = -_win9(doubled, np.maximum).min(-1)
+    score = np.maximum(bright, dark)
+    return np.where(score > threshold, score, 0.0).astype(np.float32)
+
+
+# Neighbor offsets in _nms3x3's iteration order ((dy,dx), center skipped).
+_NEIGH8 = np.array([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                    if not (dy == 0 and dx == 0)], np.int64)
+
+
+def _host_detect_frame(gray: np.ndarray, threshold: float):
+    """FAST detection of one gray frame, host-side, with the SAME semantics
+    as the device detector (ops.fast.detect): OpenCV raw corners (verified
+    bit-identical to our dense arc test), our corner score at each, 3×3 NMS
+    with the raster-index tiebreak (keeps one survivor per score plateau —
+    OpenCV's own NMS kills tied plateaus entirely, costing ~2× the corners),
+    and quadratic-fit subpixel refinement on the score neighborhood.
+
+    Returns (xy [N,2] f32 subpixel coords sorted strongest-first,
+    ixy [N,2] i64 integer coords in the same order, num_corners int)."""
+    import cv2
+
+    H, W = gray.shape
+    kps = _cv2_fast(int(threshold)).detect(gray)
+    if not kps:
+        return (np.zeros((0, 2), np.float32), np.zeros((0, 2), np.int64), 0)
+    pts = cv2.KeyPoint_convert(kps)
+    xs = pts[:, 0].astype(np.int64)
+    ys = pts[:, 1].astype(np.int64)
+    gray_f = gray.astype(np.float32)
+    score = _fast_scores_at(gray_f, ys, xs, threshold)
+
+    # sparse score plane (non-corner pixels are 0, like the dense map)
+    S = np.zeros((H, W), np.float32)
+    S[ys, xs] = score
+    ny = ys[:, None] + _NEIGH8[None, :, 0]          # [N,8]; raw corners are
+    nx = xs[:, None] + _NEIGH8[None, :, 1]          # ≥3px from the border
+    s_n = S[ny, nx]
+    eps = np.float32(1e-7)
+    tb_c = score - (ys * W + xs).astype(np.float32) * eps
+    tb_n = s_n - (ny * W + nx).astype(np.float32) * eps
+    keep = tb_c > tb_n.max(axis=1)
+
+    # strongest-first cut happens on the survivors
+    order = np.flatnonzero(keep)
+    order = order[np.argsort(-score[order], kind="stable")]
+    sc, sn = score[order], s_n[order]
+    c = sc
+    dxm, dxp = sn[:, 3], sn[:, 4]
+    dym, dyp = sn[:, 1], sn[:, 6]
+    denx = dxm + dxp - 2.0 * c
+    deny = dym + dyp - 2.0 * c
+    offx = np.where(np.abs(denx) > 1e-6, 0.5 * (dxm - dxp) / denx, 0.0)
+    offy = np.where(np.abs(deny) > 1e-6, 0.5 * (dym - dyp) / deny, 0.0)
+    xy = np.stack([xs[order] + np.clip(offx, -0.5, 0.5),
+                   ys[order] + np.clip(offy, -0.5, 0.5)], -1).astype(np.float32)
+    ixy = np.stack([xs[order], ys[order]], -1)
+    return xy, ixy, int(keep.sum())
+
+
+def host_detect_pack(frames, threshold: float, max_keypoints: int,
+                     ingest_downscale: int = 2):
+    """Host-side ingest for a chunk of RGB uint8 frames.
+
+    Per frame: BT.601 gray (cv2, matching the reference's cvtColor), FAST
+    detection with device-detector semantics (_host_detect_frame),
+    strongest-``max_keypoints`` cut, keypoint colors sampled at full
+    resolution (saveFrameColorOfKeyPoint semantics), and a 1/d mean-pooled
+    gray plane for the device-side dense descriptor maps.
+
+    Returns dict of numpy arrays:
+      gray_small [C,H/d,W/d] u8, xy [C,K,2] f32 (full-res coords),
+      valid [C,K] bool, colors [C,K,3] u8, counts [C] i32 (post-NMS corner
+      totals — the requiredExtractedPointsCount gate, batch.cpp:242-247,
+      matching the device path's num_corners).
+    """
+    import cv2
+
+    d = ingest_downscale
+    C = len(frames)
+    H, W = frames[0].shape[:2]
+    K = max_keypoints
+    gray_small = np.empty((C, H // d, W // d), np.uint8)
+    xy = np.zeros((C, K, 2), np.float32)
+    valid = np.zeros((C, K), bool)
+    colors = np.zeros((C, K, 3), np.uint8)
+    counts = np.zeros((C,), np.int32)
+    for i, f in enumerate(frames):
+        gray = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)
+        kxy, ixy, num = _host_detect_frame(gray, threshold)
+        counts[i] = num
+        n = min(len(kxy), K)
+        if n:
+            xy[i, :n] = kxy[:n]
+            valid[i, :n] = True
+            colors[i, :n] = f[ixy[:n, 1], ixy[:n, 0]]
+        if d > 1:
+            # INTER_AREA == exact d×d mean: identical pooling to the device
+            # path's describe(downscale=d)
+            gray_small[i] = cv2.resize(gray, (W // d, H // d),
+                                       interpolation=cv2.INTER_AREA)
+        else:
+            gray_small[i] = gray
+    return {"gray_small": gray_small, "xy": xy, "valid": valid,
+            "colors": colors, "counts": counts}
+
+
+@partial(jax.jit, static_argnames=("cfg", "ingest_downscale"))
+def describe_packed_batch(cfg: FrontendConfig, gray_small: jnp.ndarray,
+                          xy: jnp.ndarray, valid: jnp.ndarray,
+                          ingest_downscale: int = 2):
+    """Device half of host-detect ingest: [C,h,w] u8 pooled gray + full-res
+    keypoints → descriptors [C,K,D] (dense maps at 1/(d·descriptor_downscale)
+    of coordinate space — the same math as the all-device path)."""
+    gray = gray_small.astype(jnp.float32)
+
+    def one(g, kxy, kv):
+        if cfg.descriptor == "orb":
+            return orb.describe(g, kxy, kv, pre_downscale=ingest_downscale)
+        return sift.describe(g, kxy, kv, downscale=cfg.descriptor_downscale,
+                             pre_downscale=ingest_downscale)
+
+    return jax.vmap(one)(gray, xy, valid)["desc"]
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_only_batch(cfg: FrontendConfig, rgb_batch: jnp.ndarray):
     """[B,H,W,3] → FAST corner counts + keypoints (batch-fill gate:

@@ -72,21 +72,29 @@ def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     return (b << shifts[None, None, :]).sum(axis=-1).astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=())
-def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
+@partial(jax.jit, static_argnames=("pre_downscale",))
+def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
+             pre_downscale: int = 1):
     """ORB descriptors for K keypoints of one [H,W] frame.
+
+    ``pre_downscale`` declares that ``gray`` is already at 1/p of the
+    coordinate resolution of ``xy`` (host-detect ingest uploads a mean-pooled
+    gray plane); the pattern and orientation sampling scale accordingly —
+    descriptors stay self-consistent across frames, which is all Hamming
+    matching needs (bit-parity with full-res is not a goal).
 
     Returns dict: desc [K,8] uint32 packed bits, angle [K] float32 radians,
     valid [K] bool (propagated)."""
+    cs = 1.0 / pre_downscale
     blur = gaussian_blur(gray, sigma=2.0, radius=4)
-    theta = orientations(blur, xy)
+    theta = orientations(blur, xy * cs)
     c, s = jnp.cos(theta), jnp.sin(theta)
     # Rotate pattern endpoints per keypoint: [K,256,2] coords per endpoint
     pat = jnp.asarray(_PATTERN)  # [256,2,2]
     px, py = pat[..., 0], pat[..., 1]  # [256,2]
     rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
     ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
-    coords = jnp.stack([rx, ry], axis=-1) + xy[:, None, None, :]  # [K,256,2,2]
+    coords = (jnp.stack([rx, ry], axis=-1) + xy[:, None, None, :]) * cs  # [K,256,2,2]
     vals = nearest_sample(blur, coords)  # [K,256,2]
     bits = vals[..., 0] < vals[..., 1]  # [K,256]
     desc = pack_bits(bits)

@@ -90,14 +90,19 @@ def _dominant_orientation(hist: jnp.ndarray) -> jnp.ndarray:
     return (bin_center / ORI_BINS) * 2.0 * jnp.pi - jnp.pi
 
 
-@partial(jax.jit, static_argnames=("downscale",))
+@partial(jax.jit, static_argnames=("downscale", "pre_downscale"))
 def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
-             downscale: int = 1):
+             downscale: int = 1, pre_downscale: int = 1):
     """SIFT descriptors for K keypoints of one [H,W] frame.
 
     ``downscale`` computes the dense orientation-energy maps at 1/d
     resolution (d×d mean pooling) — the maps are smooth, so descriptor
     quality barely moves while the dense work shrinks ×d² (matters at FHD).
+
+    ``pre_downscale`` declares that ``gray`` is *already* at 1/p of the
+    coordinate resolution of ``xy`` (host-detect ingest uploads a mean-pooled
+    gray plane to cut link bytes; keypoint coords stay full-res).  The two
+    compose: maps live at 1/(d·p) of coordinate space.
 
     Returns dict: desc [K,128] float32 (L2-normalized, 0.2-clipped),
     angle [K], valid [K]."""
@@ -107,10 +112,10 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
         Hc, Wc = (H // d) * d, (W // d) * d
         small = gray[:Hc, :Wc].reshape(Hc // d, d, Wc // d, d).mean((1, 3))
         pooled = orientation_energy_maps(small)     # [H/d,W/d,8]
-        scale = 1.0 / d
+        scale = 1.0 / (d * pre_downscale)
     else:
         pooled = orientation_energy_maps(gray)      # [H,W,8]
-        scale = 1.0
+        scale = 1.0 / pre_downscale
 
     # orientation from the pooled stack at the keypoint itself
     h_kp = sample_maps(pooled, xy * scale)          # [K,8]

@@ -22,13 +22,51 @@ from . import steps
 EMPTY_BATCH = -1
 FRAME_NOT_FOUND = -2
 
+_LINK_BW_MBPS: float | None = None
+
+
+def measured_link_bandwidth_mbps() -> float:
+    """Measure host→device transfer bandwidth once per process (4 MB random
+    probe; random so a compressing transport can't flatter the number)."""
+    global _LINK_BW_MBPS
+    if _LINK_BW_MBPS is None:
+        import time
+
+        rng = np.random.default_rng(0)
+        # Distinct buffers each put (jax caches re-puts of the same ndarray)
+        # and a reduction + download to force the bytes across the wire
+        # (put-completion alone can be satisfied before the transfer lands
+        # on a tunneled transport).
+        sum_fn = jax.jit(lambda a: a.astype(jnp.uint32).sum())
+        warm = rng.integers(0, 255, (1 << 20,), np.uint8)
+        probe = rng.integers(0, 255, (4 << 20,), np.uint8)
+        np.asarray(sum_fn(jnp.asarray(np.resize(warm, probe.shape))))
+        t0 = time.perf_counter()
+        np.asarray(sum_fn(jnp.asarray(probe)))
+        dt = max(time.perf_counter() - t0, 1e-6)
+        _LINK_BW_MBPS = 4.0 / dt
+    return _LINK_BW_MBPS
+
+
+def resolve_ingest(mode: str) -> str:
+    """Resolve the "auto" ingest policy: detect on the host (upload pooled
+    gray + keypoints, ~0.55 MB/frame at FHD) when the link is slow; keep the
+    all-device frontend (full gray upload) when the link is PCIe-class and
+    host CPU is the scarcer resource."""
+    if mode != "auto":
+        return mode
+    return "host" if measured_link_bandwidth_mbps() < 400.0 else "device"
+
 
 class DeviceEngine:
     def __init__(self, media, K: np.ndarray, cfg: EngineConfig,
                  batch_size: int, required_extracted: int,
                  logs: LogStreams | None = None, seed: int = 0,
                  dist: np.ndarray | None = None):
+        import dataclasses
+
         self.media = media
+        cfg = dataclasses.replace(cfg, ingest_mode=resolve_ingest(cfg.ingest_mode))
         self.cfg = cfg
         self.batch_size = batch_size
         self.required_extracted = required_extracted
@@ -41,15 +79,22 @@ class DeviceEngine:
         self._pending: list = []        # dispatched ingests: (slots, n, counts)
         from concurrent.futures import ThreadPoolExecutor
 
-        # one packer thread: numpy packing releases the GIL and device_put is
-        # thread-safe, so payload prep+upload rides alongside tracking compute
-        self._packer = ThreadPoolExecutor(max_workers=1)
+        # packer threads: numpy/cv2 packing releases the GIL and device_put
+        # is thread-safe, so payload prep+upload rides alongside tracking
+        # compute; two workers let consecutive chunks pack concurrently
+        # (chunk order is preserved — _staged futures pop FIFO)
+        self._packer = ThreadPoolExecutor(max_workers=2)
         self._media_over = False
         self._win_fill = 0
         self.trajectory_R: list[np.ndarray] = []   # flushed (post-BA) poses
         self.trajectory_t: list[np.ndarray] = []
         self._pending_poses = 0  # accepted frames not yet flushed
         self.frames_accepted = 0
+        self._frame_counter = 0           # source frame index from media
+        self._slot_frame: dict[int, int] = {}  # ring slot → source frame id
+        self._prev_fid = -1               # frame id of the prev/ref frame
+        self._win_ids: list[int] = []     # frame ids of the current window
+        self._ba_pending = None           # deferred ba_step output
 
     # ------------------------------------------------------------- plumbing
     def _next_key(self):
@@ -95,14 +140,27 @@ class DeviceEngine:
         chunk = chunk + [chunk[-1]] * (C - n)  # padded lanes land in slots
         slots = np.array(self._free[:C], np.int32)
         self._free = self._free[C:]
+        for i in range(n):
+            self._slot_frame[int(slots[i])] = self._frame_counter + i
+        self._frame_counter += n
 
         def pack_and_put():
+            # device_put returns immediately; the transfer proceeds while
+            # the device works through earlier dispatches
+            if self.cfg.ingest_mode == "host":
+                from ..models.frontend import host_detect_pack
+
+                p = host_detect_pack(chunk, self.cfg.threshold,
+                                     self.cfg.max_keypoints,
+                                     self.cfg.ingest_downscale)
+                payload = (jnp.asarray(p["gray_small"]), jnp.asarray(p["xy"]),
+                           jnp.asarray(p["valid"]), jnp.asarray(p["colors"]),
+                           p["counts"])
+                return slots, n, payload
             from ..models.frontend import pack_frames
 
             gray, small = pack_frames(chunk, self.cfg.color_downscale)
-            # device_put returns immediately; the transfer proceeds while
-            # the device works through earlier dispatches
-            return slots, n, jnp.asarray(gray), jnp.asarray(small)
+            return slots, n, (jnp.asarray(gray), jnp.asarray(small))
 
         self._staged.append(self._packer.submit(pack_and_put))
         return True
@@ -110,12 +168,20 @@ class DeviceEngine:
     def _dispatch_ingest(self) -> bool:
         """Dispatch ingest compute for the oldest staged chunk; its counts
         download is collected LATER (one cycle behind) so the extraction-gate
-        sync overlaps tracking/BA instead of stalling the fill."""
+        sync overlaps tracking/BA instead of stalling the fill.  (Host-detect
+        mode has host-side counts — no download at all.)"""
         if not self._staged:
             return False
-        slots, n, gray, small = self._staged.pop(0).result()
-        self.state, counts = steps.ingest(
-            self.cfg, self.state, gray, small, jnp.asarray(slots))
+        slots, n, payload = self._staged.pop(0).result()
+        if self.cfg.ingest_mode == "host":
+            gray_small, xy, valid, colors, counts = payload
+            self.state = steps.ingest_host(
+                self.cfg, self.state, gray_small, xy, valid, colors,
+                jnp.asarray(slots))
+        else:
+            gray, small = payload
+            self.state, counts = steps.ingest(
+                self.cfg, self.state, gray, small, jnp.asarray(slots))
         self._pending.append((slots, n, counts))
         return True
 
@@ -179,6 +245,7 @@ class DeviceEngine:
         while True:
             if self.batch:
                 slot = self._consume_through(0)
+                self._prev_fid = self._slot_frame.get(slot, -1)
                 self.state = steps.set_prev_from_slot(
                     self.cfg, self.state, jnp.asarray(slot, jnp.int32),
                     jnp.asarray(init_R, jnp.float32),
@@ -221,6 +288,7 @@ class DeviceEngine:
             if not found:
                 # promote batch head to first frame (mainCycle.cpp:299-315)
                 slot = self._consume_through(0)
+                self._prev_fid = self._slot_frame.get(slot, -1)
                 self.state = steps.set_prev_from_slot(
                     self.cfg, self.state, jnp.asarray(slot, jnp.int32),
                     jnp.asarray(init_R, jnp.float32),
@@ -228,6 +296,7 @@ class DeviceEngine:
                 self._release(slot)
                 continue
             slot = self._consume_through(pos)
+            second_fid = self._slot_frame.get(slot, -1)
             train = train_all[pos]
             mask = mask_all[pos]
             self.state, out = steps.bootstrap_step(
@@ -242,40 +311,61 @@ class DeviceEngine:
             self._log_pose(R2, t2)
             self.trajectory_R.extend([np.asarray(init_R, np.float64), R2])
             self.trajectory_t.extend([np.asarray(init_t, np.float64), t2])
+            self._win_ids = [self._prev_fid, second_fid]
+            self._prev_fid = second_fid
             self._win_fill = 2
             self.frames_accepted += 2
             return True
 
+    def _collect_ba(self, gd: GlobalData, timer: ChronoTimer):
+        """Download + log a previously dispatched ba_step (deferred so the
+        ~28 ms relay sync and the stats download ride behind the next
+        window's fill/advance dispatches instead of stalling them)."""
+        if self._ba_pending is None:
+            return
+        out, fill, ids = self._ba_pending
+        self._ba_pending = None
+        out = np.asarray(out, np.float64)  # single ~1KB download
+        F = self.cfg.window
+        rmse = out[:2]
+        cams = out[4:4 + F * 6].reshape(F, 6)
+        Rmats = out[4 + F * 6:].reshape(F, 3, 3)
+        if self.logs:
+            self.logs.main.write(
+                "Bundle Adjustment statistics (approximated RMSE):\n"
+                f" #residuals: {int(out[2])}\n"
+                f" Initial RMSE: {rmse[0]:.6f}\n"
+                f" Final RMSE: {rmse[1]:.6f}\n")
+            timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
+            timer.update_last_point()
+        for i in range(fill):
+            gd.append_cameras(Rmats[i][None], cams[i, 3:][None],
+                              [ids[i] if i < len(ids) else -1])
+
     def _flush_window(self, gd: GlobalData, timer: ChronoTimer):
         """BA (if enabled) then move window poses to the trajectory
-        (moveProcessedDataToGlobalStruct semantics)."""
+        (moveProcessedDataToGlobalStruct semantics).  The BA dispatch is
+        asynchronous: its stats/poses download is collected at the next
+        flush (or end of run); the device-side state dependency sequences
+        the compute correctly without a host sync."""
+        self._collect_ba(gd, timer)
         if self._win_fill == 0:
             return
         if self.cfg.use_ba and self._win_fill >= 2:
             self.state, out = steps.ba_step(
                 self.cfg, self.state, jnp.asarray(self._win_fill, jnp.int32))
-            out = np.asarray(out, np.float64)  # single ~1KB download
-            F = self.cfg.window
-            rmse = out[:2]
-            cams = out[4:4 + F * 6].reshape(F, 6)
-            Rmats = out[4 + F * 6:].reshape(F, 3, 3)
-            if self.logs:
-                self.logs.main.write(
-                    "Bundle Adjustment statistics (approximated RMSE):\n"
-                    f" #residuals: {int(out[2])}\n"
-                    f" Initial RMSE: {rmse[0]:.6f}\n"
-                    f" Final RMSE: {rmse[1]:.6f}\n")
-                timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
-                timer.update_last_point()
-            for i in range(self._win_fill):
-                gd.append_cameras(Rmats[i][None], cams[i, 3:][None])
+            self._ba_pending = (out, self._win_fill, list(self._win_ids))
         else:
             # no BA: poses were logged at acceptance; replay from logs-side
             # cache kept on host
-            for R, t in zip(self.trajectory_R[-self._win_fill:],
-                            self.trajectory_t[-self._win_fill:]):
-                gd.append_cameras(np.asarray(R)[None], np.asarray(t)[None])
+            for i, (R, t) in enumerate(zip(
+                    self.trajectory_R[-self._win_fill:],
+                    self.trajectory_t[-self._win_fill:])):
+                ids = self._win_ids
+                gd.append_cameras(np.asarray(R)[None], np.asarray(t)[None],
+                                  [ids[i] if i < len(ids) else -1])
         self._win_fill = 0
+        self._win_ids = []
 
     def run(self, init_R=None, init_t=None) -> dict:
         timer = ChronoTimer()
@@ -297,8 +387,12 @@ class DeviceEngine:
             if self._win_fill >= self.cfg.window:
                 self._flush_window(gd, timer)
             # windowed device loop: up to (window - win_fill) frames tracked
-            # in ONE dispatch + ONE ~1KB download
-            T = self.cfg.window - self._win_fill
+            # in ONE dispatch + ONE ~1KB download.  t_steps is always the
+            # full window so exactly ONE advance_window program ever
+            # compiles; steps past the window fill are gated no-ops on
+            # device (only reached in the first window after a bootstrap,
+            # where win_fill=2 — two wasted gated iterations per restart).
+            T = self.cfg.window
             queue = np.zeros(B, np.int32)
             nq = min(len(self.batch), B)
             queue[:nq] = self.batch[:nq]
@@ -327,6 +421,7 @@ class DeviceEngine:
                     break
                 good = int(row[2])
                 slot = self._consume_through(good)
+                fid = self._slot_frame.get(slot, -1)
                 self._release(slot)
                 ok, n_corr, n_inl, n_new, n_matches, R, t = self._unpack(row[4:21])
                 if not ok:
@@ -342,6 +437,8 @@ class DeviceEngine:
                 self._log_pose(R, t)
                 self.trajectory_R.append(R)
                 self.trajectory_t.append(t)
+                self._win_ids.append(fid)
+                self._prev_fid = fid
                 self._win_fill += 1
                 self.frames_accepted += 1
             if stop is not None:
@@ -349,6 +446,7 @@ class DeviceEngine:
                 break
 
         self._flush_window(gd, timer)
+        self._collect_ba(gd, timer)
         last_pose = None
         if len(self.trajectory_R):
             last_pose = (self.trajectory_R[-1], self.trajectory_t[-1])

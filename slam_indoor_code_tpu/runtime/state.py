@@ -34,6 +34,12 @@ class EngineConfig:
     metric: str = "l2"
     descriptor_downscale: int = 1
     color_downscale: int = 4     # landmark-color plane at 1/d resolution
+    # ingest policy: "device" = upload full gray, detect+describe on device;
+    # "host" = OpenCV FAST on host, upload pooled gray + keypoints (the
+    # slow-link path — see frontend.host_detect_pack); "auto" resolves by
+    # measured link bandwidth at engine construction (engine.resolve_ingest)
+    ingest_mode: str = "device"
+    ingest_downscale: int = 2    # host-mode pooled-gray factor
     # scheduler rule
     required_matched: int = 100
     skip_from_head: int = 0
@@ -78,6 +84,8 @@ class EngineConfig:
             ratio=float(cfg.knnMatcherDistance),
             metric=cfg.match_metric,
             descriptor_downscale=cfg.tpu.descriptor_downscale,
+            ingest_mode=cfg.tpu.ingest,
+            ingest_downscale=cfg.tpu.ingest_downscale,
             use_undistortion=cfg.useUndistortion,
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,

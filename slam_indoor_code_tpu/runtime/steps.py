@@ -73,6 +73,33 @@ def ingest(cfg: EngineConfig, state: TrackerState, gray_u8: jnp.ndarray,
     return state, res["num_corners"].astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def ingest_host(cfg: EngineConfig, state: TrackerState,
+                gray_small: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
+                colors: jnp.ndarray, slots: jnp.ndarray):
+    """Device half of host-detect ingest (see frontend.host_detect_pack):
+    describe the host-detected keypoints from the pooled gray plane and write
+    them into ring slots [C].  No download — the extraction gate already ran
+    on the host, so this dispatch never blocks the conductor."""
+    fcfg = _frontend_cfg(cfg)
+    desc = fe.describe_packed_batch(fcfg, gray_small, xy, valid,
+                                    cfg.ingest_downscale)
+    if cfg.use_undistortion:
+        # describe samples the (distorted) image, so correction applies to the
+        # stored coords only — same order as the all-device ingest above.
+        from ..geometry.projection import undistort_points
+
+        K = _K_matrix(state.K4)
+        xy = jax.vmap(lambda u: undistort_points(K, state.dist, u))(xy)
+    return state._replace(
+        ring_xy=state.ring_xy.at[slots].set(xy),
+        ring_valid=state.ring_valid.at[slots].set(valid),
+        ring_desc=state.ring_desc.at[slots].set(desc),
+        ring_colors=state.ring_colors.at[slots].set(
+            colors.astype(jnp.float32)),
+    )
+
+
 # ------------------------------------------------------------- set prev
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def set_prev_from_slot(cfg: EngineConfig, state: TrackerState,

@@ -8,6 +8,11 @@ must run before jax initializes, hence env vars at conftest import time.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The persistent compile cache may hold CPU AOT artifacts compiled on a
+# machine with different vector features (the TPU host); loading them here
+# changes float rounding run-to-run and flakes borderline ATE assertions.
+# Tests always compile locally.
+os.environ.setdefault("SLAM_TPU_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

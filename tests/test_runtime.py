@@ -194,3 +194,47 @@ def test_ba_window_point_overflow_masked(rt_scene, tmp_path):
     # BA covers only part of the map, but must not make things WORSE than
     # pose-chaining (the aliasing bug produced >15% here)
     assert ate < 0.1 * ext, f"ATE {ate/ext:.3f} of extent"
+
+
+def test_host_detect_matches_device_detector(rt_scene):
+    """Host-detect ingest must produce the SAME corner set, subpixel coords,
+    and post-NMS count as the device detector (ops.fast.detect) — raw arc
+    semantics come from OpenCV (verified bit-identical) and NMS/subpixel
+    reimplement the device math sparsely."""
+    import cv2
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.models.frontend import _host_detect_frame
+    from slam_indoor_code_tpu.ops import fast
+
+    gray = cv2.cvtColor(rt_scene.render(0), cv2.COLOR_RGB2GRAY)
+    d = fast.detect(jnp.asarray(gray, jnp.float32), 20.0, 4096)
+    dxy = np.asarray(d["xy"])[np.asarray(d["valid"])]
+    hxy, _ixy, hn = _host_detect_frame(gray, 20.0)
+    assert hn == int(d["num_corners"])
+    assert len(hxy) == len(dxy)
+    ds = dxy[np.lexsort((dxy[:, 0], dxy[:, 1]))]
+    hs = hxy[np.lexsort((hxy[:, 0], hxy[:, 1]))]
+    np.testing.assert_allclose(ds, hs, atol=1e-4)
+
+
+def test_engine_host_ingest_e2e(rt_scene, tmp_path):
+    """Host-detect ingest runs the full pipeline with quality equivalent to
+    the all-device path and carries source frame ids for every camera."""
+    import dataclasses
+
+    cfg = _cfg(tmp_path, True, useBundleAdjustment=True,
+               BAUseHuberLossFunction=True, BAHuberLossFunctionParameter=2.0)
+    cfg = dataclasses.replace(
+        cfg, tpu=dataclasses.replace(cfg.tpu, ingest="host",
+                                     ingest_downscale=1))
+    frames = [rt_scene.render(i) for i in range(14)]
+    gd = slam_main(cfg, rt_scene.K, frames=frames)
+    assert len(gd.rotations) >= 10
+    assert len(gd.frame_ids) == len(gd.rotations)
+    assert (np.diff(gd.frame_ids) > 0).all()  # ids strictly increasing
+    est = camera_centers(gd.rotations, gd.positions)
+    gt = rt_scene.centers()[gd.frame_ids]
+    ate = absolute_trajectory_error(est, gt)
+    ext = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert ate < 0.08 * ext, f"ATE {ate/ext:.3f} of extent"
