@@ -69,7 +69,10 @@ def main():
 
     log("devices:", jax.devices())
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "64"))
+    # 128 frames: closer to the reference's own ~210-frame run, so the fixed
+    # bootstrap cost (first batch upload before anything can overlap) is
+    # weighted as it would be in a real sequence.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "128"))
     size = tuple(int(x) for x in os.environ.get("BENCH_SIZE", "1080x1920").split("x"))
     scene, frames = build_frames(n_frames, image_size=size)
 

@@ -325,7 +325,7 @@ class DeviceEngine:
             return
         out, fill, ids = self._ba_pending
         self._ba_pending = None
-        out = np.asarray(out, np.float64)  # single ~1KB download
+        out = np.asarray(out.result(), np.float64)  # ~1KB, downloaded async
         F = self.cfg.window
         rmse = out[:2]
         cams = out[4:4 + F * 6].reshape(F, 6)
@@ -354,7 +354,10 @@ class DeviceEngine:
         if self.cfg.use_ba and self._win_fill >= 2:
             self.state, out = steps.ba_step(
                 self.cfg, self.state, jnp.asarray(self._win_fill, jnp.int32))
-            self._ba_pending = (out, self._win_fill, list(self._win_ids))
+            # download in a packer thread: the ~28 ms relay round-trip rides
+            # behind the next window's dispatches instead of blocking collect
+            self._ba_pending = (self._packer.submit(np.asarray, out),
+                                self._win_fill, list(self._win_ids))
         else:
             # no BA: poses were logged at acceptance; replay from logs-side
             # cache kept on host
