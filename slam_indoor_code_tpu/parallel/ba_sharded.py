@@ -187,42 +187,42 @@ class ShardedBA:
         Pn = len(points)
         nd = self.ndev
 
-        # --- partition points round-robin; build per-device remap
-        owner = np.arange(Pn) % nd
-        local_of = np.zeros(Pn, np.int64)
-        counts = np.zeros(nd, np.int64)
-        for p in range(Pn):
-            local_of[p] = counts[owner[p]]
-            counts[owner[p]] += 1
-        P_cap = int(counts.max()) if Pn else 1
+        # --- partition points round-robin; build per-device remap.
+        # Round-robin means device d owns points d, d+nd, d+2nd, … so the
+        # local index is simply p // nd — all fully vectorized (the per-solve
+        # Python loops here used to dominate the host side of every window).
+        owner = np.arange(Pn, dtype=np.int64) % nd
+        local_of = np.arange(Pn, dtype=np.int64) // nd
+        P_cap = max(-(-Pn // nd), 1)
         pts_sh = np.zeros((nd, P_cap, 3), np.float32)
         pmask_sh = np.zeros((nd, P_cap), bool)
         pts_sh[owner, local_of] = points
         pmask_sh[owner, local_of] = point_mask
 
-        # --- co-locate observations with their landmark's device
+        # --- co-locate observations with their landmark's device: stable
+        # sort by owning device, then rank-within-device via a cumulative
+        # count — one argsort instead of nd flatnonzero passes.
         fobs_g = np.repeat(np.arange(F, dtype=np.int32), Kslots)
         uv_g = uv.reshape(-1, 2)
         pid_g = local_idx.reshape(-1)
         m_g = obs_mask.reshape(-1)
-        dev_of_obs = owner[np.where(m_g, pid_g, 0)]
-        O_cap = 0
-        per_dev = []
-        for d in range(nd):
-            sel = np.flatnonzero(m_g & (dev_of_obs == d))
-            per_dev.append(sel)
-            O_cap = max(O_cap, len(sel))
-        O_cap = max(O_cap, 1)
+        sel = np.flatnonzero(m_g)
+        dev_sel = owner[pid_g[sel]]
+        order = np.argsort(dev_sel, kind="stable")
+        sel = sel[order]
+        dev_sel = dev_sel[order]
+        counts = np.bincount(dev_sel, minlength=nd)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(len(sel)) - starts[dev_sel]
+        O_cap = max(int(counts.max()) if len(sel) else 0, 1)
         uv_sh = np.zeros((nd, O_cap, 2), np.float32)
         fobs_sh = np.zeros((nd, O_cap), np.int32)
         pid_sh = np.zeros((nd, O_cap), np.int32)
         omask_sh = np.zeros((nd, O_cap), bool)
-        for d, sel in enumerate(per_dev):
-            k = len(sel)
-            uv_sh[d, :k] = uv_g[sel]
-            fobs_sh[d, :k] = fobs_g[sel]
-            pid_sh[d, :k] = local_of[pid_g[sel]]
-            omask_sh[d, :k] = True
+        uv_sh[dev_sel, rank] = uv_g[sel]
+        fobs_sh[dev_sel, rank] = fobs_g[sel]
+        pid_sh[dev_sel, rank] = local_of[pid_g[sel]]
+        omask_sh[dev_sel, rank] = True
 
         K4f, camsf, ptsf, costs = self._solver(
             jnp.asarray(K4, jnp.float32), jnp.asarray(cams, jnp.float32),

@@ -68,6 +68,18 @@ class DeviceEngine:
         self.media = media
         cfg = dataclasses.replace(cfg, ingest_mode=resolve_ingest(cfg.ingest_mode))
         self.cfg = cfg
+        self.mesh = None
+        if cfg.mesh_shape:
+            # Multi-chip product path: one "batch"-axis mesh; the step
+            # functions annotate their fan-out intermediates against it
+            # (steps.set_active_mesh) and XLA inserts the collectives.
+            import numpy as _np
+
+            from ..parallel.mesh import make_mesh
+
+            n = int(_np.prod(cfg.mesh_shape))
+            self.mesh = make_mesh((n,), ("batch",))
+            steps.set_active_mesh(self.mesh)
         self.batch_size = batch_size
         self.required_extracted = required_extracted
         self.logs = logs
@@ -144,23 +156,33 @@ class DeviceEngine:
             self._slot_frame[int(slots[i])] = self._frame_counter + i
         self._frame_counter += n
 
+        def _put(a):
+            # device_put returns immediately; the transfer proceeds while the
+            # device works through earlier dispatches.  On a mesh, payloads
+            # land pre-sharded over the chunk axis so each device uploads
+            # only its shard (parallel DMA on a real pod).
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = P(*(("batch",) + (None,) * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(self.mesh, spec))
+            return jnp.asarray(a)
+
         def pack_and_put():
-            # device_put returns immediately; the transfer proceeds while
-            # the device works through earlier dispatches
             if self.cfg.ingest_mode == "host":
                 from ..models.frontend import host_detect_pack
 
                 p = host_detect_pack(chunk, self.cfg.threshold,
                                      self.cfg.max_keypoints,
                                      self.cfg.ingest_downscale)
-                payload = (jnp.asarray(p["gray_small"]), jnp.asarray(p["xy"]),
-                           jnp.asarray(p["valid"]), jnp.asarray(p["colors"]),
+                payload = (_put(p["gray_small"]), _put(p["xy"]),
+                           _put(p["valid"]), _put(p["colors"]),
                            p["counts"])
                 return slots, n, payload
             from ..models.frontend import pack_frames
 
             gray, small = pack_frames(chunk, self.cfg.color_downscale)
-            return slots, n, (jnp.asarray(gray), jnp.asarray(small))
+            return slots, n, (_put(gray), _put(small))
 
         self._staged.append(self._packer.submit(pack_and_put))
         return True

@@ -40,6 +40,10 @@ class EngineConfig:
     # measured link bandwidth at engine construction (engine.resolve_ingest)
     ingest_mode: str = "device"
     ingest_downscale: int = 2    # host-mode pooled-gray factor
+    # multi-chip: () = single device; (n,) shards the ingest/match fan-out
+    # and the BA observation axis over an n-device "batch" mesh (steps.py
+    # mesh hooks); the engine builds the Mesh and registers it
+    mesh_shape: tuple = ()
     # scheduler rule
     required_matched: int = 100
     skip_from_head: int = 0
@@ -86,6 +90,7 @@ class EngineConfig:
             descriptor_downscale=cfg.tpu.descriptor_downscale,
             ingest_mode=cfg.tpu.ingest,
             ingest_downscale=cfg.tpu.ingest_downscale,
+            mesh_shape=tuple(cfg.tpu.mesh_shape),
             use_undistortion=cfg.useUndistortion,
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,

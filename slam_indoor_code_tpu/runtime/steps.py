@@ -24,6 +24,47 @@ from ..models import frontend as fe
 from ..solver.ba import BAConfig, bundle_adjust_window
 from .state import EngineConfig, TrackerState
 
+# ---------------------------------------------------------------- mesh hooks
+#
+# Multi-chip execution (tpu.mesh_shape != ()) keeps ONE code path: the engine
+# registers the active jax Mesh here and the step functions annotate their
+# heavy fan-out intermediates with sharding constraints — the batch axis of
+# ingest/describe and of the candidate-match tensor, and the BA observation
+# axis (solver.ba).  XLA's SPMD partitioner inserts the collectives (the
+# all-gathers back into the replicated TrackerState ride ICI).  EngineConfig
+# carries mesh_shape so the jit cache keys distinguish meshed programs; on a
+# single device no constraint is emitted and the programs are unchanged.
+
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh) -> None:
+    """Register the mesh used by sharding constraints (engine calls this;
+    must agree with cfg.mesh_shape, which keys the jit cache)."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    from ..solver import ba as _ba
+
+    _ba.set_active_mesh(mesh)
+
+
+def _shard_leading(x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain x to be sharded over its leading axis on the active mesh."""
+    if _ACTIVE_MESH is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*(("batch",) + (None,) * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_ACTIVE_MESH, spec))
+
+
+def _maybe_shard(cfg: EngineConfig, *xs):
+    if not cfg.mesh_shape:
+        return xs if len(xs) > 1 else xs[0]
+    out = tuple(_shard_leading(x) for x in xs)
+    return out if len(out) > 1 else out[0]
+
 
 def _K_matrix(K4: jnp.ndarray) -> jnp.ndarray:
     fx, fy, cx, cy = K4[0], K4[1], K4[2], K4[3]
@@ -52,6 +93,7 @@ def ingest(cfg: EngineConfig, state: TrackerState, gray_u8: jnp.ndarray,
     [C,H/d,W/d,3] u8 — see models.frontend.pack_frames) and write it into
     ring slots [C].  Returns (state, num_corners [C])."""
     fcfg = _frontend_cfg(cfg)
+    gray_u8, rgb_small = _maybe_shard(cfg, gray_u8, rgb_small)
     res = fe.extract_and_describe_gray_batch(
         fcfg, gray_u8, rgb_small, cfg.color_downscale)
     xy = res["xy"]
@@ -82,6 +124,7 @@ def ingest_host(cfg: EngineConfig, state: TrackerState,
     them into ring slots [C].  No download — the extraction gate already ran
     on the host, so this dispatch never blocks the conductor."""
     fcfg = _frontend_cfg(cfg)
+    gray_small, xy, valid = _maybe_shard(cfg, gray_small, xy, valid)
     desc = fe.describe_packed_batch(fcfg, gray_small, xy, valid,
                                     cfg.ingest_downscale)
     if cfg.use_undistortion:
@@ -126,8 +169,8 @@ def match_select(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
     Returns (train_all [B,K] device, mask_all [B,K] device,
              info = [found, good_pos, count_of_good] i32, counts [B] i32)."""
     fcfg = _frontend_cfg(cfg)
-    desc_b = state.ring_desc[order]
-    valid_b = state.ring_valid[order]
+    desc_b, valid_b = _maybe_shard(cfg, state.ring_desc[order],
+                                   state.ring_valid[order])
     res = fe.match_against_batch(
         fcfg, state.prev_desc, state.prev_valid, desc_b, valid_b, order_mask
     )
@@ -369,7 +412,8 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
 
     bacfg = BAConfig(loss=cfg.ba_loss, loss_param=cfg.ba_loss_param,
                      max_iters=cfg.ba_iters, obs_cap=cfg.ba_obs_cap,
-                     fix_intrinsics=not cfg.ba_adjust_intrinsics)
+                     fix_intrinsics=not cfg.ba_adjust_intrinsics,
+                     shard_obs=bool(cfg.mesh_shape))
     K4f, camsf, ptsf, info = bundle_adjust_window(
         bacfg, state.K4, state.win_cams, pts, state.win_xy, local,
         obs_mask, pmask,
@@ -416,8 +460,8 @@ def advance_step(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
     download carries everything the host needs (control flow + pose logging
     + reference-style per-index match counts)."""
     fcfg = _frontend_cfg(cfg)
-    desc_b = state.ring_desc[order]
-    valid_b = state.ring_valid[order]
+    desc_b, valid_b = _maybe_shard(cfg, state.ring_desc[order],
+                                   state.ring_valid[order])
     res = fe.match_against_batch(
         fcfg, state.prev_desc, state.prev_valid, desc_b, valid_b, order_mask
     )
@@ -482,9 +526,11 @@ def advance_window(cfg: EngineConfig, state: TrackerState,
         order = queue[order_idx]
         order_mask = (iota_q < q_len) & active
 
+        desc_b, valid_b = _maybe_shard(cfg, state.ring_desc[order],
+                                       state.ring_valid[order])
         res = fe.match_against_batch(
-            fcfg, state.prev_desc, state.prev_valid,
-            state.ring_desc[order], state.ring_valid[order], order_mask)
+            fcfg, state.prev_desc, state.prev_valid, desc_b, valid_b,
+            order_mask)
         counts = res["num_matches"].astype(jnp.int32)
         eligible = (iota_q >= cfg.skip_from_head) & order_mask & (
             counts >= cfg.required_matched)

@@ -42,6 +42,33 @@ import numpy as np
 
 from ..geometry.rotations import matrix_to_rodrigues, rodrigues_to_matrix
 
+# ------------------------------------------------------------ mesh sharding
+#
+# When the product runs on a device mesh (tpu.mesh_shape), the observation
+# axis of the solve is sharded: the vmapped Jacobian and the per-point
+# segment_sums partition over devices and the SPMD partitioner reduces the
+# per-point blocks / reduced camera system with psums over ICI — the
+# jit-native sibling of parallel.ba_sharded's explicit shard_map solver.
+# BAConfig.shard_obs keys the jit cache; runtime.steps.set_active_mesh
+# registers the Mesh object itself.
+
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def _shard_obs(x: jnp.ndarray) -> jnp.ndarray:
+    if _ACTIVE_MESH is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*(("batch",) + (None,) * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_ACTIVE_MESH, spec))
+
 
 # ------------------------------------------------------------------ losses
 def loss_rho_and_weight(s: jnp.ndarray, kind: str, a: float):
@@ -132,6 +159,7 @@ class BAConfig:
     #                    slots are masked padding and waste Jacobian work
     function_tolerance: float = 1e-6  # Ceres-style early exit: stop when an
     #                                   accepted step improves cost by less
+    shard_obs: bool = False  # shard the observation axis over the active mesh
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -193,6 +221,10 @@ def bundle_adjust_window(
     pid = loc
     P = Pc
     pid_safe = jnp.where(m_obs, pid, 0)
+    if cfg.shard_obs:
+        uv_flat, f_of_obs, pid_safe, m_obs = (
+            _shard_obs(uv_flat), _shard_obs(f_of_obs),
+            _shard_obs(pid_safe), _shard_obs(m_obs))
 
     def pack(K4, cams, points):
         return K4, cams, points

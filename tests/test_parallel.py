@@ -137,3 +137,57 @@ def test_multi_sequence_parallel(tmp_path):
         ate = absolute_trajectory_error(est, gt)
         ext = np.linalg.norm(gt.max(0) - gt.min(0))
         assert ate < 0.15 * ext
+
+
+def test_slam_main_on_mesh_matches_single_device(tmp_path):
+    """tpu.mesh_shape wires the distributed layer into the PRODUCT: the same
+    slam_main call runs with the ingest/match fan-out and BA observation axis
+    sharded over an 8-device mesh, and must reproduce the single-device
+    trajectory (collectives only change float reassociation)."""
+    import os
+
+    import numpy as np
+
+    from slam_indoor_code_tpu.app import slam_main
+    from slam_indoor_code_tpu.config import Config, TpuConfig
+    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
+    from slam_indoor_code_tpu.metrics.ate import camera_centers
+    from slam_indoor_code_tpu.testing import make_scene
+
+    scene = make_scene(n_points=700, n_frames=12, seed=5, baseline=0.3)
+    frames = [scene.render(i) for i in range(12)]
+
+    def run(mesh_shape, sub):
+        out = tmp_path / sub
+        os.makedirs(out, exist_ok=True)
+        cfg = Config(
+            usePhotosCycle=True, outputDataDir=str(out),
+            requiredExtractedPointsCount=80, featureExtractingThreshold=20,
+            framesBatchSize=6, requiredMatchedPointsCount=30,
+            knnMatcherDistance=0.8, RPDistanceThreshold=500.0,
+            useBundleAdjustment=True, BAMaxFramesCnt=8,
+            BAUseHuberLossFunction=True, BAHuberLossFunctionParameter=2.0,
+            tpu=TpuConfig(max_keypoints=512, ransac_iters=256,
+                          pnp_ransac_iters=128, window_points=2048,
+                          ba_max_iters=10, mesh_shape=mesh_shape))
+        return slam_main(cfg, scene.K, frames=frames)
+
+    gd_1 = run((), "single")
+    gd_8 = run((8,), "mesh8")
+    # restore single-device behaviour for later tests in this process
+    from slam_indoor_code_tpu.runtime import steps
+
+    steps.set_active_mesh(None)
+
+    assert len(gd_8.rotations) == len(gd_1.rotations)
+    assert (gd_8.frame_ids == gd_1.frame_ids).all()
+    c1 = camera_centers(gd_1.rotations, gd_1.positions)
+    c8 = camera_centers(gd_8.rotations, gd_8.positions)
+    ext = np.linalg.norm(c1.max(0) - c1.min(0))
+    # Sim(3)-aligned trajectory-to-trajectory RMSE: float reassociation under
+    # the collectives perturbs RANSAC votes slightly and the monocular gauge
+    # amplifies that at the tail, so pointwise equality is not the oracle.
+    assert absolute_trajectory_error(c8, c1) < 0.03 * ext
+    gt = scene.centers()[gd_8.frame_ids]
+    ate = absolute_trajectory_error(c8, gt)
+    assert ate < 0.08 * np.linalg.norm(gt.max(0) - gt.min(0))
