@@ -44,6 +44,17 @@ def load_calibration(cfg: Config) -> tuple[np.ndarray, np.ndarray]:
     return K.astype(np.float64), dc.astype(np.float64)
 
 
+def _load_dist(cfg: Config):
+    """DC coefficients for useUndistortion (mainCycleInternals.cpp:68-75);
+    None when disabled or the calibration has no DC entry."""
+    if not (cfg.useUndistortion and cfg.calibrationPath):
+        return None
+    try:
+        return load_matrix_from_xml(cfg.calibrationPath, "DC").reshape(-1)
+    except Exception:
+        return None
+
+
 def slam_main(cfg: Config, K: np.ndarray, frames=None, seed: int = 0) -> GlobalData:
     """Run the full SLAM pipeline with restart-on-track-loss.
 
@@ -76,7 +87,7 @@ def slam_main(cfg: Config, K: np.ndarray, frames=None, seed: int = 0) -> GlobalD
 
     global_data = GlobalData()
     cycle = MainCycle(media, K, settings, fcfg, arena, logs=logs, ba_fn=ba_fn,
-                      seed=seed)
+                      seed=seed, dist=_load_dist(cfg))
 
     init_R, init_t = np.eye(3), np.zeros(3)
     launch = 0
@@ -115,26 +126,36 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
     logs = LogStreams(cfg.outputDataDir)
     media = make_media(cfg, frames)
     ecfg = EngineConfig.from_config(cfg)
-    dist = None
-    if cfg.useUndistortion and cfg.calibrationPath:
-        try:
-            from .io.xmlio import load_matrix_from_xml
-
-            dist = load_matrix_from_xml(cfg.calibrationPath, "DC").reshape(-1)
-        except Exception:
-            dist = None
+    dist = _load_dist(cfg)
     engine = DeviceEngine(
         media, K, ecfg,
         batch_size=cfg.framesBatchSize,
         required_extracted=cfg.requiredExtractedPointsCount,
         logs=logs, seed=seed, dist=dist,
+        checkpoint_path=cfg.tpu.checkpoint_path or None,
+        checkpoint_every=cfg.tpu.checkpoint_every,
     )
+
+    resume = False
+    if cfg.tpu.resume_path:
+        from .runtime import checkpoint_next_fid, load_checkpoint
+
+        load_checkpoint(cfg.tpu.resume_path, engine)
+        # the snapshot's media cursor: everything consumed before it is
+        # skipped; in-flight frames re-pull deterministically (checkpoint.py)
+        for _ in range(checkpoint_next_fid(cfg.tpu.resume_path)):
+            media.next_frame()
+        resume = True
+        logs.main.write(
+            f"Resumed from {cfg.tpu.resume_path} at "
+            f"{engine.frames_accepted} frames\n")
 
     global_data = GlobalData()
     init_R, init_t = np.eye(3), np.zeros(3)
     while True:
         logs.main.write("Launching main cycle...\n")
-        result = engine.run(init_R, init_t)
+        result = engine.run(init_R, init_t, resume=resume)
+        resume = False
         global_data.extend(result["global_data"])
         if result["status"] != "interrupted" or result["last_pose"] is None:
             break

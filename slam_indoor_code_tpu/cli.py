@@ -2,7 +2,14 @@
 
 Matches the reference binary's contract (src/main.cpp:28-74): one argument —
 the JSON config path; exit 2 on config errors; dispatches to calibration /
-onlyViz / SLAM and finishes with visualization artifacts."""
+onlyViz / SLAM and finishes with visualization artifacts.
+
+Extension flags (capabilities the reference lacks):
+  --viz                 write viz artifacts at the end
+  --checkpoint PATH     periodic run snapshots to PATH (npz)
+  --checkpoint-every N  snapshot every N accepted frames (default 64)
+  --resume PATH         resume a previous run from its snapshot
+"""
 
 from __future__ import annotations
 
@@ -10,6 +17,14 @@ import sys
 
 from .app import run_from_config
 from .config import ConfigError, load_config
+
+
+def _flag_value(argv: list[str], flag: str) -> str | None:
+    if flag in argv:
+        i = argv.index(flag)
+        if i + 1 < len(argv):
+            return argv[i + 1]
+    return None
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -23,6 +38,21 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as e:
         print(e, file=sys.stderr)
         return 2
+
+    ck = _flag_value(argv, "--checkpoint")
+    every = _flag_value(argv, "--checkpoint-every")
+    resume = _flag_value(argv, "--resume")
+    if ck or every or resume:
+        import dataclasses
+
+        tpu = dataclasses.replace(
+            cfg.tpu,
+            checkpoint_path=ck or cfg.tpu.checkpoint_path,
+            checkpoint_every=int(every) if every else
+            (cfg.tpu.checkpoint_every or (64 if ck else 0)),
+            resume_path=resume or cfg.tpu.resume_path,
+        )
+        cfg = dataclasses.replace(cfg, tpu=tpu)
 
     gd = run_from_config(cfg)
     if cfg.calibrate:

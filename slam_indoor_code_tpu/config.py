@@ -177,8 +177,20 @@ class TpuConfig:
     #                                 slow-link path); "auto" picks by measured
     #                                 link bandwidth at engine start
     ingest_downscale: int = 2       # host-ingest pooled-gray factor
+    rebind_cap: int = 4096          # anti-drift map re-binding: match unbound
+    #                                 features to the last N landmarks by
+    #                                 projected position + descriptor (0 = off,
+    #                                 reference behaviour)
+    rebind_radius: float = 24.0     # re-binding reprojection gate, in
+    #                                 FHD-equivalent px (scaled by actual
+    #                                 image width at engine start)
     mesh_shape: tuple = ()          # () = single device; e.g. (2, 4) hosts×chips
     dtype: str = "float32"          # compute dtype for geometry (descriptors bf16-able)
+    checkpoint_path: str = ""       # periodic run snapshot target (npz);
+    checkpoint_every: int = 0       #   save every N accepted frames (0 = off)
+    resume_path: str = ""           # resume a run from a snapshot (media must
+    #                                 be the same source; frames consumed
+    #                                 before the snapshot are skipped)
 
 
 @dataclass(frozen=True)

@@ -53,9 +53,14 @@ class BatchScheduler:
                  required_matched: int,
                  skip_from_head: int = 0,
                  use_first_fit: bool = False,
-                 report=None):
+                 report=None,
+                 K=None, dist=None):
         self.media = media
         self.fcfg = fcfg
+        # useUndistortion: corrected at fill time so matching/geometry see
+        # undistorted pixels (mirrors runtime/steps.py ingest placement)
+        self.K = K
+        self.dist = dist
         self.batch_size = batch_size
         self.required_extracted = required_extracted
         self.required_matched = required_matched
@@ -93,6 +98,11 @@ class BatchScheduler:
             stacked = np.stack(chunk + [chunk[-1]] * pad)  # pad: one compile
             rgb = jnp.asarray(stacked)
             res = fe.extract_and_describe_batch(self.fcfg, rgb)
+            if self.dist is not None:
+                from ..geometry.projection import undistort_points
+
+                res = dict(res)
+                res["xy"] = undistort_points(self.K, self.dist, res["xy"])
             counts = np.asarray(res["num_corners"])
             for i in range(len(chunk)):
                 if counts[i] < self.required_extracted:

@@ -30,6 +30,7 @@ from ..geometry import (
     reconstruct,
     solve_pnp_ransac,
 )
+from ..geometry.ransac import ransac_fanout
 from ..io.logs import GlobalData, LogStreams
 from ..models import frontend as fe
 from ..utils.timer import ChronoTimer
@@ -74,8 +75,12 @@ class CycleSettings:
             distance_threshold=cfg.RPDistanceThreshold,
             use_ba=cfg.useBundleAdjustment,
             ba_window=cfg.BAMaxFramesCnt,
-            ransac_iters=cfg.tpu.ransac_iters,
-            pnp_iters=cfg.tpu.pnp_ransac_iters,
+            # fan-out statistically matched to RPRANSACProb, capped by the
+            # tpu.* compute budget (see geometry/ransac.py)
+            ransac_iters=ransac_fanout(cfg.RPRANSACProb, 8,
+                                       cfg.tpu.ransac_iters),
+            pnp_iters=ransac_fanout(cfg.RPRANSACProb, 6,
+                                    cfg.tpu.pnp_ransac_iters),
         )
 
 
@@ -117,6 +122,7 @@ class MainCycle:
         logs: LogStreams | None = None,
         ba_fn=None,
         seed: int = 0,
+        dist: np.ndarray | None = None,
     ):
         self.media = media
         self.K = jnp.asarray(K, jnp.float32)
@@ -127,6 +133,12 @@ class MainCycle:
         self.logs = logs
         self.ba_fn = ba_fn
         self._key = jax.random.PRNGKey(seed)
+        # useUndistortion: keypoint coords are corrected right after
+        # extraction, so all downstream geometry sees undistorted pixels —
+        # same placement as the device runtime (runtime/steps.py ingest)
+        self.dist = None
+        if dist is not None and np.any(np.asarray(dist) != 0):
+            self.dist = jnp.asarray(np.asarray(dist).reshape(-1), jnp.float32)
         self.scheduler = BatchScheduler(
             media, fcfg,
             batch_size=settings.batch_size,
@@ -135,6 +147,7 @@ class MainCycle:
             skip_from_head=settings.skip_from_head,
             use_first_fit=settings.use_first_fit,
             report=logs.main if logs else None,
+            K=self.K, dist=self.dist,
         )
 
     def _next_key(self):
@@ -160,6 +173,11 @@ class MainCycle:
             if f is None:
                 return None
             res = fe.extract_and_describe(self.fcfg, jnp.asarray(f))
+            if self.dist is not None:
+                from ..geometry.projection import undistort_points
+
+                res = dict(res)
+                res["xy"] = undistort_points(self.K, self.dist, res["xy"])
             if int(res["num_corners"]) >= self.s.required_extracted:
                 el = BatchElement(
                     frame=f, xy=res["xy"], valid=res["valid"], score=res["score"],

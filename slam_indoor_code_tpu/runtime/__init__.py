@@ -18,9 +18,9 @@ decoded frame chunk per fill.  Bundle adjustment (``ba_step``) runs on the
 device-resident window and map with only its RMSE/pose summary coming back.
 """
 
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import checkpoint_next_fid, load_checkpoint, save_checkpoint
 from .engine import DeviceEngine
 from .state import EngineConfig, TrackerState, init_state
 
 __all__ = ["DeviceEngine", "EngineConfig", "TrackerState", "init_state",
-           "load_checkpoint", "save_checkpoint"]
+           "checkpoint_next_fid", "load_checkpoint", "save_checkpoint"]

@@ -26,7 +26,18 @@ def save_checkpoint(path: str, engine) -> None:
                              if engine.trajectory_R else np.zeros((0, 3, 3)))
     arrays["host_traj_t"] = (np.stack(engine.trajectory_t)
                              if engine.trajectory_t else np.zeros((0, 3)))
+    # media cursor: frames with source id ≤ prev_fid are fully consumed
+    # (consumption is head-first in id order); everything after re-pulls
+    # deterministically on resume, so `next_fid` is the exact media restart
+    # position for an identical continuation
+    arrays["host_prev_fid"] = np.asarray(engine._prev_fid)
+    arrays["host_win_ids"] = np.asarray(engine._win_ids, np.int64)
     np.savez_compressed(path, **arrays)
+
+
+def checkpoint_next_fid(path: str) -> int:
+    """Source frame index a resumed run must restart its media at."""
+    return int(np.load(path)["host_prev_fid"]) + 1
 
 
 def load_checkpoint(path: str, engine) -> None:
@@ -53,3 +64,7 @@ def load_checkpoint(path: str, engine) -> None:
     engine.frames_accepted = int(data["host_frames_accepted"])
     engine.trajectory_R = list(data["host_traj_R"])
     engine.trajectory_t = list(data["host_traj_t"])
+    if "host_prev_fid" in data:  # format v2 cursors
+        engine._prev_fid = int(data["host_prev_fid"])
+        engine._frame_counter = engine._prev_fid + 1
+        engine._win_ids = [int(i) for i in data["host_win_ids"]]

@@ -62,11 +62,22 @@ class DeviceEngine:
     def __init__(self, media, K: np.ndarray, cfg: EngineConfig,
                  batch_size: int, required_extracted: int,
                  logs: LogStreams | None = None, seed: int = 0,
-                 dist: np.ndarray | None = None):
+                 dist: np.ndarray | None = None,
+                 checkpoint_path: str | None = None,
+                 checkpoint_every: int = 0):
         import dataclasses
 
         self.media = media
         cfg = dataclasses.replace(cfg, ingest_mode=resolve_ingest(cfg.ingest_mode))
+        if cfg.rebind_cap > 0:
+            # rebind_radius is specified in FHD-equivalent pixels (1920-wide
+            # image); the useful reprojection gate scales with resolution, so
+            # resolve to actual pixels here using the principal point as the
+            # image-width proxy (cx ≈ width/2 — exact for the calibrations
+            # this pipeline meets).  Floor at 1.5 px: below that the gate is
+            # tighter than subpixel localisation noise and nothing re-binds.
+            px = cfg.rebind_radius * (2.0 * float(K[0, 2])) / 1920.0
+            cfg = dataclasses.replace(cfg, rebind_radius=max(px, 1.5))
         self.cfg = cfg
         self.mesh = None
         if cfg.mesh_shape:
@@ -107,6 +118,12 @@ class DeviceEngine:
         self._prev_fid = -1               # frame id of the prev/ref frame
         self._win_ids: list[int] = []     # frame ids of the current window
         self._ba_pending = None           # deferred ba_step output
+        # periodic checkpointing (SURVEY.md §5.4): snapshot at window
+        # boundaries every `checkpoint_every` accepted frames; kept out of
+        # EngineConfig so the path/interval never key a recompilation
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every)
+        self._last_checkpoint_at = 0
 
     # ------------------------------------------------------------- plumbing
     def _next_key(self):
@@ -392,16 +409,35 @@ class DeviceEngine:
         self._win_fill = 0
         self._win_ids = []
 
-    def run(self, init_R=None, init_t=None) -> dict:
+    def _maybe_checkpoint(self):
+        """Snapshot at a window boundary (called right after a flush, when
+        the BA window is empty and consumption is at a clean frame-id
+        cursor — see checkpoint.py for the resume contract)."""
+        if (self.checkpoint_path and self.checkpoint_every > 0
+                and self.frames_accepted - self._last_checkpoint_at
+                >= self.checkpoint_every):
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(self.checkpoint_path, self)
+            self._last_checkpoint_at = self.frames_accepted
+            if self.logs:
+                self.logs.main.write(
+                    f"Checkpoint saved at {self.frames_accepted} frames\n")
+
+    def run(self, init_R=None, init_t=None, resume: bool = False) -> dict:
+        """Main loop.  ``resume=True`` continues from a ``load_checkpoint``ed
+        state: bootstrap is skipped (the restored prev-frame features and
+        pose anchor tracking directly) and the restored trajectory is kept."""
         timer = ChronoTimer()
         init_R = np.eye(3) if init_R is None else init_R
         init_t = np.zeros(3) if init_t is None else init_t
         gd = GlobalData()
-        self.trajectory_R, self.trajectory_t = [], []
-
-        if not self._bootstrap(init_R, init_t):
-            return {"status": "no_data", "global_data": gd,
-                    "frames_accepted": 0, "last_pose": None}
+        resumed = resume and self.frames_accepted > 0
+        if not resumed:
+            self.trajectory_R, self.trajectory_t = [], []
+            if not self._bootstrap(init_R, init_t):
+                return {"status": "no_data", "global_data": gd,
+                        "frames_accepted": 0, "last_pose": None}
         status = "interrupted"
         B = self.batch_size + self.cfg.fill_chunk
         while True:
@@ -411,6 +447,7 @@ class DeviceEngine:
                 break
             if self._win_fill >= self.cfg.window:
                 self._flush_window(gd, timer)
+                self._maybe_checkpoint()
             # windowed device loop: up to (window - win_fill) frames tracked
             # in ONE dispatch + ONE ~1KB download.  t_steps is always the
             # full window so exactly ONE advance_window program ever

@@ -13,6 +13,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..geometry.ransac import ransac_fanout
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -57,6 +59,17 @@ class EngineConfig:
     pnp_iters: int = 256
     reproj_gate_px: float = 8.0
     # BA
+    # map re-binding (anti-drift): each tracked frame matches its unbound
+    # features against the last `rebind_cap` landmarks by projected position
+    # (< rebind_radius px under the PnP pose) + descriptor ratio test, and
+    # re-binds instead of triangulating duplicates.  PnP then anchors on
+    # older geometry, damping monocular scale drift across BA windows.
+    # 0 disables (reference behaviour: bindings only propagate frame-to-frame)
+    rebind_cap: int = 4096
+    # NB: in EngineConfig as consumed by steps this is ACTUAL pixels;
+    # DeviceEngine.__init__ resolves the config-level FHD-equivalent value
+    # (TpuConfig.rebind_radius) to actual px using the calibration.
+    rebind_radius: float = 12.0
     use_ba: bool = False
     ba_loss: str = "huber"
     ba_loss_param: float = 1.0
@@ -91,6 +104,8 @@ class EngineConfig:
             ingest_mode=cfg.tpu.ingest,
             ingest_downscale=cfg.tpu.ingest_downscale,
             mesh_shape=tuple(cfg.tpu.mesh_shape),
+            rebind_cap=cfg.tpu.rebind_cap,
+            rebind_radius=float(cfg.tpu.rebind_radius),
             use_undistortion=cfg.useUndistortion,
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,
@@ -98,8 +113,12 @@ class EngineConfig:
             use_ransac=cfg.RPUseRANSAC,
             ransac_threshold=float(cfg.RPRANSACThreshold),
             distance_threshold=float(cfg.RPDistanceThreshold),
-            ransac_iters=cfg.tpu.ransac_iters,
-            pnp_iters=cfg.tpu.pnp_ransac_iters,
+            # fan-out statistically matched to RPRANSACProb (the reference's
+            # findEssentialMat confidence), capped by the tpu.* compute budget
+            ransac_iters=ransac_fanout(cfg.RPRANSACProb, 8,
+                                       cfg.tpu.ransac_iters),
+            pnp_iters=ransac_fanout(cfg.RPRANSACProb, 6,
+                                    cfg.tpu.pnp_ransac_iters),
             use_ba=cfg.useBundleAdjustment,
             ba_loss=loss,
             ba_loss_param=float(param),
@@ -117,6 +136,7 @@ class TrackerState(NamedTuple):
     # global map arena (device twin of pipeline.structures.MapArena)
     map_points: jnp.ndarray   # [P,3] f32
     map_colors: jnp.ndarray   # [P,3] f32 (0-255)
+    map_desc: jnp.ndarray     # [P,D] landmark descriptor (creation-frame view)
     map_count: jnp.ndarray    # () i32
 
     # previous accepted frame
@@ -152,6 +172,7 @@ def init_state(K: np.ndarray, cfg: EngineConfig,
         dist=jnp.asarray(dist, f32),
         map_points=jnp.zeros((map_cap, 3), f32),
         map_colors=jnp.zeros((map_cap, 3), f32),
+        map_desc=jnp.zeros((map_cap, desc_dim), desc_dtype),
         map_count=jnp.zeros((), jnp.int32),
         prev_xy=jnp.zeros((k, 2), f32),
         prev_valid=jnp.zeros((k,), bool),

@@ -213,8 +213,9 @@ def _verify_gates(cfg, K, Rp, tp, Rn, tn, X, uv1, uv2):
     return (e1 < g) & (e2 < g) & (z1 > 0) & (z2 > 0)
 
 
-def _append_points(state: TrackerState, pts, colors, add_mask):
-    """Scatter-append masked points; returns (state, ids [K], n_added)."""
+def _append_points(state: TrackerState, pts, colors, desc, add_mask):
+    """Scatter-append masked points (+ their creation-frame descriptors, used
+    by map re-binding); returns (state, ids [K], n_added)."""
     order = jnp.cumsum(add_mask.astype(jnp.int32)) - 1
     ids = state.map_count + order
     P = state.map_points.shape[0]
@@ -224,6 +225,7 @@ def _append_points(state: TrackerState, pts, colors, add_mask):
         state._replace(
             map_points=state.map_points.at[idx].set(pts, mode="drop"),
             map_colors=state.map_colors.at[idx].set(colors, mode="drop"),
+            map_desc=state.map_desc.at[idx].set(desc, mode="drop"),
             map_count=state.map_count + ok.sum(dtype=jnp.int32),
         ),
         jnp.where(ok, ids, -1),
@@ -265,7 +267,8 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
 
     X = reconstruct(K, state.pose_R, state.pose_t, R2, t2, uv1, uv2, chir)
     colors = state.ring_colors[slot][train_s]
-    state, ids, n_new = _append_points(state, X, colors, chir)
+    desc_new = state.ring_desc[slot][train_s]
+    state, ids, n_new = _append_points(state, X, colors, desc_new, chir)
 
     K_slots = uv1.shape[0]
     q = jnp.arange(K_slots)
@@ -343,7 +346,9 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
 
     add_mask = mask & (state.prev_corr < 0) & verified & ok
     colors = state.ring_colors[slot][train_s]
-    state2, ids, n_new = _append_points(state, X, colors, add_mask)
+    desc_created = state.ring_desc[slot][train_s]
+    state2, ids, n_new = _append_points(state, X, colors, desc_created,
+                                        add_mask)
 
     K_slots = uv1.shape[0]
     is_old = mask & (state.prev_corr >= 0) & prop_ok
@@ -354,6 +359,41 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         ids, mode="drop")
     # prev_corr gains the fresh ids too (pushNewSpatialPoints mutates both)
     prev_corr2 = jnp.where(add_mask, ids, state.prev_corr)
+
+    # ---- map re-binding (anti-drift; no reference counterpart — bindings
+    # there only propagate frame-to-frame and die at the first missed match,
+    # so PnP progressively anchors on younger, already-drifted landmarks).
+    # Unbound features of the accepted frame are matched against the last
+    # rebind_cap landmarks: projected within rebind_radius px under the PnP
+    # pose AND passing the descriptor ratio test.  Re-bound features become
+    # PnP anchors for the next frame, tying the trajectory back to older
+    # geometry and preventing duplicate landmark creation.
+    if cfg.rebind_cap > 0:
+        from ..ops import knn as _knn
+
+        Mr = cfg.rebind_cap
+        base = jnp.maximum(state.map_count - Mr, 0)
+        cand_ids = base + jnp.arange(Mr, dtype=jnp.int32)
+        cand_real = cand_ids < state.map_count      # pre-append landmarks
+        cand_X = state.map_points[cand_ids]
+        cand_desc = state.map_desc[cand_ids]
+        Xc = cand_X @ Rn.T + tn
+        pix = Xc @ K.T
+        safe = jnp.where(jnp.abs(pix[:, 2:3]) < 1e-9, 1e-9, pix[:, 2:3])
+        pc = pix[:, :2] / safe                      # [M,2]
+        d = _knn.distance_matrix(new_desc, cand_desc, cfg.metric)  # [K,M]
+        pixd2 = jnp.sum((new_xy[:, None, :] - pc[None, :, :]) ** 2, -1)
+        allowed = (cand_real & (Xc[:, 2] > 0))[None, :] & (
+            pixd2 < cfg.rebind_radius * cfg.rebind_radius)
+        dm = jnp.where(allowed, d, _knn.BIG)
+        bestc = jnp.argmin(dm, axis=1)
+        d1 = jnp.take_along_axis(dm, bestc[:, None], 1)[:, 0]
+        d2 = (dm + jax.nn.one_hot(bestc, Mr, dtype=dm.dtype) * _knn.BIG
+              ).min(axis=1)
+        ratio = cfg.ratio * cfg.ratio if cfg.metric == "l2" else cfg.ratio
+        ok_r = (d1 < ratio * d2) | (d2 > _knn.BIG / 2)
+        bind = new_valid & (new_corr < 0) & ok_r & (d1 < _knn.BIG / 2)
+        new_corr = jnp.where(bind, cand_ids[bestc], new_corr)
 
     aa = matrix_to_rodrigues(Rn)
     win_xy = state2.win_xy.at[win_pos].set(new_xy)

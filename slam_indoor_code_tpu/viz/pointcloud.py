@@ -37,6 +37,49 @@ def export_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None) 
                 f.write(f"{p[0]} {p[1]} {p[2]}\n")
 
 
+def export_mesh_ply(path: str, points: np.ndarray,
+                    colors: np.ndarray | None,
+                    meshes: list[tuple[np.ndarray, np.ndarray]]) -> int:
+    """Write the per-cluster triangle meshes as ONE PLY with faces — the
+    headless artifact counterpart of the reference's per-cluster cv::viz
+    WMesh rendering (bestFittingPlane.cpp:42-127 builds a polygon list per
+    cluster and vizualizationModule.cpp shows it).  Vertices are compacted to
+    the union of meshed points; faces re-index into that compact set.
+    Returns the number of faces written."""
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    used = np.unique(np.concatenate(
+        [np.asarray(comp)[np.asarray(tris).ravel()] for comp, tris in meshes]
+    )) if meshes else np.zeros((0,), np.int64)
+    remap = np.full(len(points), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    faces = []
+    for comp, tris in meshes:
+        comp = np.asarray(comp)
+        for tri in np.asarray(tris).reshape(-1, 3):
+            faces.append(remap[comp[tri]])
+    has_color = colors is not None and len(colors) == len(points)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(used)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_color:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        if has_color:
+            c = np.asarray(colors).astype(np.uint8).reshape(-1, 3)
+            for i in used:
+                p, col = points[i], c[i]
+                f.write(f"{p[0]} {p[1]} {p[2]} {col[0]} {col[1]} {col[2]}\n")
+        else:
+            for i in used:
+                p = points[i]
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        for tri in faces:
+            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+    return len(faces)
+
+
 def camera_frustum_lines(R: np.ndarray, t: np.ndarray, scale: float = 0.1):
     """Line segments of one camera frustum in world coords (WTrajectory-style
     glyphs, vizualizationModule.cpp:44-59)."""
@@ -109,6 +152,11 @@ def visualize_global_data(gd, cfg, *, interactive: bool | None = None,
             min_cluster_points=cfg.TriangleMinimumPoints,
         )
         artifacts["num_meshes"] = len(meshes)
+        if meshes:
+            n_faces = export_mesh_ply(out_prefix + "_mesh.ply", gd.points,
+                                      np.asarray(gd.colors), meshes)
+            artifacts["mesh_ply"] = out_prefix + "_mesh.ply"
+            artifacts["num_faces"] = n_faces
 
     if interactive is None:
         interactive = bool(os.environ.get("DISPLAY"))

@@ -222,3 +222,41 @@ def test_undistort_roundtrip(scene, rng):
     uv_d = denormalize(K, jnp.stack([xd, yd], -1))
     uv_rec = undistort_points(K, dist, uv_d, iters=8)
     np.testing.assert_allclose(np.asarray(uv_rec), np.asarray(uv_u), atol=0.1)
+
+
+# ------------------------------------------------------------ RANSAC fan-out
+def test_ransac_fanout_matches_probability_bound():
+    """Fixed fan-out sized to the RPRANSACProb success bound
+    (cameraTranslation.cpp:38-52 passes prob to findEssentialMat; the
+    adaptive loop there stops at the same S = log(1-p)/log(1-w^n))."""
+    import math
+
+    from slam_indoor_code_tpu.geometry.ransac import ransac_fanout
+
+    # default confidence saturates the configured compute budget
+    assert ransac_fanout(0.999, 8, 1024) == 1024
+    # lower confidence genuinely shrinks the fan-out (RPRANSACProb is live)
+    s90 = ransac_fanout(0.90, 8, 1024)
+    assert 64 <= s90 < 1024
+    exact = math.log(1 - 0.90) / math.log(1 - 0.5**8)
+    assert exact <= s90 <= exact + 64  # ceil to lane multiple
+    assert s90 % 64 == 0
+    # PnP (6-pt sample) needs fewer hypotheses than essential (8-pt)
+    assert ransac_fanout(0.999, 6, 4096) < ransac_fanout(0.999, 8, 4096)
+
+
+def test_rpransacprob_drives_engine_fanout():
+    from slam_indoor_code_tpu.config import Config, TpuConfig
+    from slam_indoor_code_tpu.runtime.state import EngineConfig
+
+    base = dict(usePhotosCycle=True, outputDataDir="/tmp/x",
+                requiredExtractedPointsCount=10,
+                featureExtractingThreshold=10, framesBatchSize=4,
+                requiredMatchedPointsCount=5, knnMatcherDistance=0.8,
+                RPDistanceThreshold=500.0,
+                tpu=TpuConfig(ransac_iters=1024, pnp_ransac_iters=256))
+    hi = EngineConfig.from_config(Config(**base))
+    lo = EngineConfig.from_config(Config(RPRANSACProb=0.9, **base))
+    assert hi.ransac_iters == 1024 and hi.pnp_iters == 256
+    assert lo.ransac_iters < hi.ransac_iters
+    assert lo.pnp_iters < hi.pnp_iters

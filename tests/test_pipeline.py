@@ -102,3 +102,37 @@ def test_e2e_track_loss_restart(e2e_scene, tmp_path):
     # either way we keep ≥ 12 cameras and a nonempty map.
     assert len(gd.rotations) >= 12
     assert len(gd.points) > 200
+
+
+def test_classic_path_applies_undistortion(e2e_scene):
+    """The classic conductor must correct keypoint coords with DC exactly
+    like the device runtime does at ingest (parity between the two
+    'identical semantics' paths, app.py:54-58) — capability the reference
+    only stubs with TODOs (batch.cpp:247)."""
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.io.media import ArraySource
+    from slam_indoor_code_tpu.models import frontend as fe
+    from slam_indoor_code_tpu.pipeline.batch import BatchScheduler
+
+    fcfg = fe.FrontendConfig(max_keypoints=256, threshold=20.0)
+    dist = np.array([0.15, -0.05, 0.0, 0.0, 0.0])
+    K = jnp.asarray(e2e_scene.K, jnp.float32)
+    frames = [e2e_scene.render(0)]
+
+    def xy_of(dist_arg):
+        s = BatchScheduler(ArraySource(list(frames)), fcfg, batch_size=1,
+                           required_extracted=10, required_matched=5,
+                           K=K, dist=dist_arg)
+        s.fill()
+        el = s.batch[0]
+        return np.asarray(el.xy)[np.asarray(el.valid)]
+
+    xy_off = xy_of(None)
+    xy_on = xy_of(jnp.asarray(dist, jnp.float32))
+    c = np.array([e2e_scene.K[0, 2], e2e_scene.K[1, 2]])
+    r_on = np.linalg.norm(xy_on - c, axis=1)
+    r_off = np.linalg.norm(xy_off - c, axis=1)
+    # barrel distortion: corrected points move outward from the center
+    assert (r_on < r_off - 1e-3).mean() > 0.8
+    assert np.abs(r_on - r_off).max() > 1.0

@@ -9,6 +9,7 @@ from slam_indoor_code_tpu.viz import (
     clusterize_points,
     delaunay,
     delaunay_bowyer_watson,
+    export_mesh_ply,
     export_ply,
     make_mesh,
     render_png,
@@ -86,6 +87,35 @@ def test_build_scene_meshes(rng):
     assert len(meshes) == 1
     comp, tris = meshes[0]
     assert len(comp) == 60 and len(tris) > 40
+
+
+def test_export_mesh_ply_covers_plane(tmp_path, rng):
+    """Triangles of a meshed synthetic plane must be written to the PLY and
+    tile (cover) the plane's convex hull — the artifact counterpart of the
+    reference's per-cluster WMesh rendering (bestFittingPlane.cpp:42-127)."""
+    uv = rng.uniform(0, 2.0, (80, 2))
+    pts = np.concatenate([uv, np.zeros((80, 1))], axis=1)
+    cols = np.full((80, 3), 90.0)
+    meshes = build_scene_meshes(pts, cols, max_distance=5.0,
+                                euclid_weight=1.0, color_weight=0.01,
+                                min_cluster_points=10)
+    assert len(meshes) == 1
+    out = tmp_path / "m.ply"
+    n_faces = export_mesh_ply(str(out), pts, cols, meshes)
+    text = out.read_text().splitlines()
+    assert f"element face {n_faces}" in "\n".join(text)
+    hdr_end = text.index("end_header")
+    n_vert = int(next(l for l in text if l.startswith("element vertex")).split()[-1])
+    verts = np.array([[float(x) for x in l.split()[:3]]
+                      for l in text[hdr_end + 1: hdr_end + 1 + n_vert]])
+    faces = np.array([[int(x) for x in l.split()[1:4]]
+                      for l in text[hdr_end + 1 + n_vert:]])
+    assert len(faces) == n_faces and faces.max() < n_vert
+    a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    area = np.abs(np.cross(b - a, c - a))[:, 2].sum() / 2
+    from scipy.spatial import ConvexHull
+
+    assert abs(area - ConvexHull(uv).volume) < 1e-6
 
 
 def test_exports(tmp_path, rng):
