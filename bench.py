@@ -12,8 +12,17 @@ A short warm-up run triggers all jit compilations (the reference's timings
 exclude build time too); the measured run starts with a cold map like the
 reference's.
 
-Prints exactly ONE JSON line on stdout.
-"""
+Default invocation prints exactly ONE JSON line on stdout (the driver
+contract).  Extra modes cover the remaining BASELINE.json configs + metrics:
+
+    python bench.py           headline: FHD SIFT+BF, BA on (configs #1/#2)
+    python bench.py orb       config #3: FHD ORB/Hamming + undistortion
+    python bench.py 4k        config #4: 4K, 10k keypoints, requiredMatched=500
+    python bench.py ba        BA LM iterations/s on a window=8 problem
+    python bench.py kernels   Pallas fused matcher vs stock-XLA jnp
+    python bench.py suite     all of the above -> BENCH_SUITE.json
+
+Each mode prints one JSON line per result."""
 
 import json
 import os
@@ -27,23 +36,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_frames(n_frames: int, image_size=(1080, 1920), seed=7):
+def build_frames(n_frames: int, image_size=(1080, 1920), seed=7,
+                 n_points=1500):
     from slam_indoor_code_tpu.testing import make_scene
 
     scene = make_scene(
-        n_points=1500, n_frames=n_frames, image_size=image_size, seed=seed,
-        baseline=0.25, kind="hallway",
+        n_points=n_points, n_frames=n_frames, image_size=image_size,
+        seed=seed, baseline=0.25, kind="hallway",
     )
     log(f"rendering {n_frames} frames {image_size} ...")
     frames = [scene.render(i) for i in range(n_frames)]
     return scene, frames
 
 
-def run_pipeline(scene, frames, outdir, ba=True):
-    from slam_indoor_code_tpu.app import slam_main
+def base_config(outdir, ba=True, **tpu_over):
     from slam_indoor_code_tpu.config import Config, TpuConfig
 
-    cfg = Config(
+    tpu = dict(max_keypoints=2048, ransac_iters=1024, pnp_ransac_iters=128,
+               window_points=4096, ba_max_iters=15)
+    tpu.update(tpu_over)
+    return Config(
         usePhotosCycle=True,
         outputDataDir=outdir,
         requiredExtractedPointsCount=300,
@@ -56,11 +68,286 @@ def run_pipeline(scene, frames, outdir, ba=True):
         BAMaxFramesCnt=8,
         BAUseHuberLossFunction=True,
         BAHuberLossFunctionParameter=2.0,
-        tpu=TpuConfig(max_keypoints=2048, ransac_iters=1024,
-                      pnp_ransac_iters=128, window_points=4096,
-                      ba_max_iters=15),
+        tpu=TpuConfig(**tpu),
     )
+
+
+def run_pipeline(scene, frames, outdir, cfg=None, ba=True):
+    from slam_indoor_code_tpu.app import slam_main
+
+    cfg = cfg or base_config(outdir, ba=ba)
     return slam_main(cfg, scene.K, frames=frames), cfg
+
+
+def trajectory_quality(scene, gd):
+    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
+    from slam_indoor_code_tpu.metrics.ate import camera_centers
+
+    n_cams = len(gd.rotations)
+    if n_cams < 8:
+        return n_cams, float("nan"), float("nan")
+    est = camera_centers(gd.rotations, gd.positions)
+    # pair each camera with its SOURCE frame's ground truth — the scheduler
+    # may legally skip candidate frames (batch.cpp:93-98)
+    ids = gd.frame_ids if len(gd.frame_ids) == n_cams else np.arange(n_cams)
+    gt = scene.centers()[ids]
+    ate = absolute_trajectory_error(est, gt)
+    extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+    return n_cams, ate, 100.0 * ate / max(extent, 1e-9)
+
+
+def measured_e2e(scene, frames, outtag, metric, cfg_fn, baseline_fps=3.0):
+    """Warm-up (full coverage — see headline docstring) + measured run."""
+    os.makedirs(f"/tmp/bench_out/{outtag}", exist_ok=True)
+    log(f"[{outtag}] warm-up (compilation) ...")
+    t0 = time.perf_counter()
+    run_pipeline(scene, frames, f"/tmp/bench_out/{outtag}_warm",
+                 cfg=cfg_fn(f"/tmp/bench_out/{outtag}_warm"))
+    warmup_s = time.perf_counter() - t0
+    log(f"[{outtag}] warm-up took {warmup_s:.1f}s")
+
+    t0 = time.perf_counter()
+    gd, _ = run_pipeline(scene, frames, f"/tmp/bench_out/{outtag}",
+                         cfg=cfg_fn(f"/tmp/bench_out/{outtag}"))
+    elapsed = time.perf_counter() - t0
+    fps = len(frames) / elapsed
+    n_cams, ate, ate_pct = trajectory_quality(scene, gd)
+    log(f"[{outtag}] {len(frames)} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
+        f"cameras {n_cams}, map {len(gd.points)}, ATE {ate:.4f} "
+        f"({ate_pct:.1f}% of trajectory extent)")
+    return {
+        "metric": metric,
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+        "ate_pct_extent": round(ate_pct, 2),
+        "cameras": n_cams,
+        "warmup_s": round(warmup_s, 1),
+    }
+
+
+# ------------------------------------------------------------------ headline
+def bench_headline():
+    n_frames = int(os.environ.get("BENCH_FRAMES", "128"))
+    size = tuple(int(x) for x in os.environ.get("BENCH_SIZE", "1080x1920").split("x"))
+    scene, frames = build_frames(n_frames, image_size=size)
+    return measured_e2e(scene, frames, "run", "end_to_end_frames_per_second_fhd",
+                        lambda out: base_config(out))
+
+
+# ---------------------------------------------------- config #3: ORB + undist
+def distort_frames(scene, frames, dist):
+    """Warp clean renders through the 5-coefficient model so the pipeline's
+    undistortion path has real work to undo (samsung-hv video profile,
+    BASELINE config #3)."""
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    K = scene.K
+    # distorted(x_d) = clean(undistort(x_d)): build the undistort map once
+    # with OpenCV's iterative solver, remap every frame
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1).reshape(-1, 1, 2)
+    und = cv2.undistortPoints(pts, K, np.asarray(dist, np.float64),
+                              P=K).reshape(h, w, 2)
+    mapx, mapy = und[..., 0], und[..., 1]
+    return [cv2.remap(f, mapx, mapy, cv2.INTER_LINEAR) for f in frames]
+
+
+def bench_orb_undistort():
+    from slam_indoor_code_tpu.io.xmlio import save_matrix_to_xml
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "128"))
+    scene, frames = build_frames(n_frames, seed=9)
+    dist = np.array([-0.12, 0.03, 0.0, 0.0, 0.0])
+    log("warping frames through the distortion model ...")
+    frames = distort_frames(scene, frames, dist)
+    calib = "/tmp/bench_out/orb_cam.xml"
+    os.makedirs("/tmp/bench_out", exist_ok=True)
+    save_matrix_to_xml(calib, scene.K, "K")
+    save_matrix_to_xml(calib, dist.reshape(1, 5), "DC", mode="a")
+
+    import dataclasses
+
+    def cfg_fn(out):
+        c = base_config(out)
+        return dataclasses.replace(
+            c, useFM_SIFT_BF=False, useFM_ORB=True, knnMatcherDistance=0.85,
+            useUndistortion=True, calibrationPath=calib)
+
+    return measured_e2e(scene, frames, "orb",
+                        "orb_hamming_undistort_frames_per_second_fhd", cfg_fn)
+
+
+# ------------------------------------------------------------- config #4: 4K
+def bench_4k():
+    n_frames = int(os.environ.get("BENCH_4K_FRAMES", "48"))
+    scene, frames = build_frames(n_frames, image_size=(2160, 3840), seed=13,
+                                 n_points=4000)
+
+    def cfg_fn(out):
+        import dataclasses
+
+        c = base_config(out, max_keypoints=10240, window_points=8192,
+                        descriptor_downscale=2)
+        return dataclasses.replace(c, requiredMatchedPointsCount=500,
+                                   requiredExtractedPointsCount=1000)
+
+    return measured_e2e(scene, frames, "4k",
+                        "end_to_end_frames_per_second_4k_10k_keypoints",
+                        cfg_fn)
+
+
+# ------------------------------------------------------------------ BA iters/s
+def bench_ba_iterations():
+    """LM iterations/s of the windowed Schur BA at window=8 on a realistic
+    observation load (the reference's Ceres solve is its per-window
+    bottleneck — BASELINE.json names 'BA iterations/s' as a co-headline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.solver.ba import BAConfig, bundle_adjust_window
+    from slam_indoor_code_tpu.testing import make_scene
+
+    F, Kslots, P = 8, 2048, 4096
+    iters = 30
+    scene = make_scene(n_points=P, n_frames=F, seed=3, baseline=0.3,
+                       image_size=(1080, 1920), kind="hallway")
+    rng = np.random.default_rng(0)
+    pts = scene.points.astype(np.float32)
+    cams = []
+    uv = np.zeros((F, Kslots, 2), np.float32)
+    pidx = np.zeros((F, Kslots), np.int32)
+    mask = np.zeros((F, Kslots), bool)
+    import cv2
+
+    for f in range(F):
+        R, t = scene.rotations[f], scene.translations[f]
+        aa, _ = cv2.Rodrigues(R)
+        cams.append(np.concatenate([aa.ravel(), t]).astype(np.float32))
+        Xc = pts @ R.T + t
+        pix = Xc @ scene.K.T
+        z = pix[:, 2:]
+        vis = (z[:, 0] > 0.1)
+        uvf = pix[:, :2] / np.maximum(z, 1e-9)
+        vis &= ((uvf[:, 0] >= 0) & (uvf[:, 0] < 1920)
+                & (uvf[:, 1] >= 0) & (uvf[:, 1] < 1080))
+        ids = np.flatnonzero(vis)[:Kslots]
+        k = len(ids)
+        uv[f, :k] = uvf[ids] + rng.normal(0, 0.5, (k, 2))
+        pidx[f, :k] = ids
+        mask[f, :k] = True
+    n_obs = int(mask.sum())
+    # perturb: BA must do real work every solve
+    cams_n = np.stack(cams) + rng.normal(0, 0.01, (F, 6)).astype(np.float32)
+    pts_n = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    K4 = jnp.asarray([scene.K[0, 0], scene.K[1, 1],
+                      scene.K[0, 2], scene.K[1, 2]], jnp.float32)
+    cfg = BAConfig(loss="huber", loss_param=2.0, max_iters=iters,
+                   obs_cap=16384, fix_intrinsics=True,
+                   function_tolerance=0.0)  # fixed trip count: every solve
+    #                                         runs all `iters` LM iterations
+    args = (K4, jnp.asarray(cams_n), jnp.asarray(pts_n), jnp.asarray(uv),
+            jnp.asarray(pidx), jnp.asarray(mask),
+            jnp.ones((P,), bool))
+
+    log(f"[ba] window={F}, obs={n_obs}, {iters} LM iters/solve; compiling ...")
+    out = bundle_adjust_window(cfg, *args)
+    jax.block_until_ready(out)
+    np.asarray(out[1])  # true sync through the relay
+
+    n_solves = 8
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_solves):
+        last = bundle_adjust_window(cfg, *args)
+    np.asarray(last[1])
+    dt = time.perf_counter() - t0
+    info = {k: float(np.asarray(v)) for k, v in last[3].items()
+            if np.ndim(np.asarray(v)) == 0}
+    done_iters = info.get("num_iters", iters)
+    ips = done_iters * n_solves / dt
+    log(f"[ba] {n_solves} solves x {done_iters:.0f} iters in {dt:.2f}s -> "
+        f"{ips:.1f} LM iters/s ({n_obs} obs; final cost "
+        f"{info.get('final_cost', float('nan')):.4f})")
+    return {
+        "metric": "ba_lm_iterations_per_second_w8",
+        "value": round(ips, 1),
+        "unit": "iterations/s",
+        "vs_baseline": None,  # reference publishes no Ceres iters/s number
+        "observations": n_obs,
+    }
+
+
+# ---------------------------------------------------------------- kernel SoL
+def bench_kernels():
+    """Pallas fused distance+top-2 matcher vs the stock-XLA jnp path, plus
+    achieved fraction of the MXU speed-of-light for the distance matmul."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.ops import knn
+
+    N = M = 2048
+    D = 128
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    vb = jnp.ones((M,), bool)
+
+    def time_fn(fn, reps=30):
+        out = fn()
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(reps)]
+        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
+        return (time.perf_counter() - t0) / reps
+
+    # compare the two implementations directly (match_pair picks one at
+    # trace time from the backend, so benchmark the internals)
+    @jax.jit
+    def jnp_top2():
+        d = knn.distance_matrix(a, b, "l2")
+        d = jnp.where(vb[None, :], d, knn.BIG)
+        return knn._top2(d)
+
+    t_jnp = time_fn(jnp_top2)
+    t_pal = None
+    if knn._pallas_enabled("l2"):
+        from slam_indoor_code_tpu.ops.pallas_kernels import top2_pallas
+
+        jit_pal = jax.jit(lambda: top2_pallas(a, b, vb, metric="l2"))
+        t_pal = time_fn(jit_pal)
+    # speed-of-light: the [N,M,D] matmul at the chip's peak f32 MXU rate.
+    # TPU v5e: 197 TFLOP/s bf16, ~98 TFLOP/s f32 (descriptors run f32 here)
+    flops = 2.0 * N * M * D
+    peak = 98e12
+    sol_s = flops / peak
+    best = min(x for x in (t_jnp, t_pal) if x is not None)
+    log(f"[kernels] match 2048x2048x128: jnp {t_jnp*1e3:.3f} ms"
+        + (f", pallas {t_pal*1e3:.3f} ms" if t_pal else " (pallas n/a)")
+        + f"; matmul SoL {sol_s*1e6:.1f} us -> {100*sol_s/best:.1f}% of SoL "
+        "(top-2 reduction + ratio included)")
+    return {
+        "metric": "matcher_kernel_ms_2048x2048x128",
+        "value": round(best * 1e3, 4),
+        "unit": "ms",
+        "vs_baseline": round(t_jnp / best, 3),  # speedup vs stock XLA
+        "jnp_ms": round(t_jnp * 1e3, 4),
+        "pallas_ms": round(t_pal * 1e3, 4) if t_pal else None,
+        "pct_speed_of_light": round(100 * sol_s / best, 2),
+    }
+
+
+MODES = {
+    "headline": bench_headline,
+    "orb": bench_orb_undistort,
+    "4k": bench_4k,
+    "ba": bench_ba_iterations,
+    "kernels": bench_kernels,
+}
 
 
 def main():
@@ -68,57 +355,22 @@ def main():
     import jax
 
     log("devices:", jax.devices())
-
-    # 128 frames: closer to the reference's own ~210-frame run, so the fixed
-    # bootstrap cost (first batch upload before anything can overlap) is
-    # weighted as it would be in a real sequence.
-    n_frames = int(os.environ.get("BENCH_FRAMES", "128"))
-    size = tuple(int(x) for x in os.environ.get("BENCH_SIZE", "1080x1920").split("x"))
-    scene, frames = build_frames(n_frames, image_size=size)
-
-    # Warm-up: full-coverage — run the entire measured workload once so every
-    # program (all T-step variants, final-flush BA, snapshot) is compiled
-    # before measurement.  A short-prefix warm-up leaves late-run programs
-    # compiling inside the measured window and under-reports throughput by
-    # ~3x through the remote-compile tunnel.  (The reference's timings also
-    # exclude build time.)
-    log("warm-up (compilation) ...")
-    t0 = time.perf_counter()
-    run_pipeline(scene, frames, "/tmp/bench_out/warm")
-    log(f"warm-up took {time.perf_counter() - t0:.1f}s")
-
-    # Measured end-to-end run.
-    t0 = time.perf_counter()
-    gd, cfg = run_pipeline(scene, frames, "/tmp/bench_out/run")
-    elapsed = time.perf_counter() - t0
-    fps = n_frames / elapsed
-
-    # Sanity: the run must actually have reconstructed the sequence.
-    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
-    from slam_indoor_code_tpu.metrics.ate import camera_centers
-
-    n_cams = len(gd.rotations)
-    ate = ate_pct = float("nan")
-    if n_cams >= 8:
-        est = camera_centers(gd.rotations, gd.positions)
-        # pair each camera with its SOURCE frame's ground truth — the
-        # scheduler may legally skip candidate frames (batch.cpp:93-98)
-        ids = gd.frame_ids if len(gd.frame_ids) == n_cams else np.arange(n_cams)
-        gt = scene.centers()[ids]
-        ate = absolute_trajectory_error(est, gt)
-        extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
-        ate_pct = 100.0 * ate / max(extent, 1e-9)
-    log(f"{n_frames} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
-        f"cameras {n_cams}, map {len(gd.points)}, ATE {ate:.4f} "
-        f"({ate_pct:.1f}% of trajectory extent)")
-
-    baseline_fps = 3.0  # reference CPU end-to-end anchor (BASELINE.md)
-    print(json.dumps({
-        "metric": "end_to_end_frames_per_second_fhd",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 3),
-    }))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    if mode == "suite":
+        results = []
+        for name, fn in MODES.items():
+            log(f"===== {name} =====")
+            try:
+                r = fn()
+            except Exception as e:  # noqa: BLE001 — record partial suites
+                log(f"{name} FAILED: {e}")
+                r = {"metric": name, "error": str(e)[:300]}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        with open("BENCH_SUITE.json", "w") as f:
+            json.dump(results, f, indent=1)
+        return
+    print(json.dumps(MODES[mode]()), flush=True)
 
 
 if __name__ == "__main__":

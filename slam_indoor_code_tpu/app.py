@@ -117,6 +117,82 @@ def slam_main(cfg: Config, K: np.ndarray, frames=None, seed: int = 0) -> GlobalD
     return global_data
 
 
+def _global_refine(engine, gd: GlobalData, logs, cfg: Config):
+    """Final full-trajectory BA over every flushed camera + its window
+    observations (solver/global_ba.py — matrix-free LM-PCG; no reference
+    counterpart: the reference stops at its Ceres windows, which is why its
+    long monocular runs keep their scale drift).  Updates ``gd`` poses in
+    place and returns the refined landmark table (or None)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from .solver.global_ba import GlobalBAConfig, global_bundle_adjust
+
+    obs = engine.global_observations()
+    N = len(gd.rotations)
+    if not obs or N < 12:
+        return None
+    fid2idx = {int(f): i for i, f in enumerate(gd.frame_ids)}
+    Kslots = engine.cfg.max_keypoints
+    rows, uv_l, pid_l = [], [], []
+    for xy, corr, ids in obs:
+        for r_i, fid in enumerate(ids):
+            ci = fid2idx.get(int(fid), -1)
+            if ci < 0:
+                continue
+            m = corr[r_i] >= 0
+            sel = np.flatnonzero(m)
+            rows.append(np.full(len(sel), ci, np.int32))
+            uv_l.append(xy[r_i][sel])
+            pid_l.append(corr[r_i][sel])
+    if not rows:
+        return None
+    ci = np.concatenate(rows)
+    uv = np.concatenate(uv_l).astype(np.float32)
+    pid = np.concatenate(pid_l).astype(np.int32)
+    O = len(ci)
+    Opad = -(-O // 4096) * 4096  # bucketed shape: one compile across runs
+    padn = Opad - O
+    uv = np.concatenate([uv, np.zeros((padn, 2), np.float32)])
+    ci = np.concatenate([ci, np.zeros(padn, np.int32)])
+    pid = np.concatenate([pid, np.zeros(padn, np.int32)])
+    mask = np.concatenate([np.ones(O, bool), np.zeros(padn, bool)])
+
+    Npad = -(-N // 16) * 16
+    cams6 = np.zeros((Npad, 6), np.float32)
+    for i in range(N):
+        aa, _ = cv2.Rodrigues(np.asarray(gd.rotations[i], np.float64))
+        cams6[i, :3] = aa.ravel()
+        cams6[i, 3:] = gd.positions[i]
+
+    loss, param = cfg.ba_loss
+    gcfg = GlobalBAConfig(loss=loss, loss_param=float(param),
+                          max_iters=cfg.tpu.global_ba_iters,
+                          cg_iters=cfg.tpu.global_ba_cg_iters)
+    t0 = ChronoTimer()
+    camsf, ptsf, info = global_bundle_adjust(
+        gcfg, engine.state.K4, jnp.asarray(cams6), engine.state.map_points,
+        jnp.asarray(uv), jnp.asarray(ci), jnp.asarray(pid),
+        jnp.asarray(mask))
+    camsf = np.asarray(camsf, np.float64)
+    # slice on device before downloading — the full arena is ~3 MB and the
+    # relay link is the bottleneck; only the live landmarks travel
+    n_pts = int(np.asarray(engine.state.map_count))
+    ptsf = np.asarray(ptsf[:n_pts], np.float64)
+    logs.main.write(
+        "Global Bundle Adjustment statistics (approximated RMSE):\n"
+        f" #residuals: {int(np.asarray(info['num_residuals']))}\n"
+        f" #cameras: {N}\n"
+        f" Initial RMSE: {float(np.asarray(info['initial_rmse'])):.6f}\n"
+        f" Final RMSE: {float(np.asarray(info['final_rmse'])):.6f}\n")
+    t0.print_start_delta("Global bundle adjustment: ", logs.time)
+    for i in range(N):
+        R, _ = cv2.Rodrigues(camsf[i, :3])
+        gd.rotations[i] = R
+        gd.positions[i] = camsf[i, 3:]
+    return ptsf
+
+
 def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
                       seed: int = 0) -> GlobalData:
     """slam_main on the device-resident runtime (runtime/engine.py)."""
@@ -127,6 +203,7 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
     media = make_media(cfg, frames)
     ecfg = EngineConfig.from_config(cfg)
     dist = _load_dist(cfg)
+    use_global_ba = cfg.useBundleAdjustment and cfg.tpu.global_ba
     engine = DeviceEngine(
         media, K, ecfg,
         batch_size=cfg.framesBatchSize,
@@ -134,6 +211,7 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
         logs=logs, seed=seed, dist=dist,
         checkpoint_path=cfg.tpu.checkpoint_path or None,
         checkpoint_every=cfg.tpu.checkpoint_every,
+        collect_global_obs=use_global_ba,
     )
 
     resume = False
@@ -152,6 +230,16 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
 
     global_data = GlobalData()
     init_R, init_t = np.eye(3), np.zeros(3)
+    profiler = None
+    if cfg.tpu.profile_dir:
+        # per-stage device-time breakdown (SURVEY.md §5.1): every jitted step
+        # is annotated by its function name in the trace; open the dump with
+        # TensorBoard's profile plugin or Perfetto
+        import jax as _jax
+
+        profiler = _jax
+        profiler.profiler.start_trace(cfg.tpu.profile_dir)
+        logs.main.write(f"Profiling device trace to {cfg.tpu.profile_dir}\n")
     while True:
         logs.main.write("Launching main cycle...\n")
         result = engine.run(init_R, init_t, resume=resume)
@@ -163,7 +251,14 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
         if engine.media_exhausted:
             break
 
+    refined_pts = None
+    if use_global_ba:
+        refined_pts = _global_refine(engine, global_data, logs, cfg)
     pts, cols = engine.snapshot_map()
+    if profiler is not None:
+        profiler.profiler.stop_trace()
+    if refined_pts is not None and len(refined_pts) == len(pts):
+        pts = refined_pts
     global_data.points = pts
     global_data.colors = cols.astype(np.float64)
     logs.write_map(pts, cols)

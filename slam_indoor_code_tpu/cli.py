@@ -9,6 +9,7 @@ Extension flags (capabilities the reference lacks):
   --checkpoint PATH     periodic run snapshots to PATH (npz)
   --checkpoint-every N  snapshot every N accepted frames (default 64)
   --resume PATH         resume a previous run from its snapshot
+  --profile DIR         dump a jax.profiler device trace of the run to DIR
 """
 
 from __future__ import annotations
@@ -42,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     ck = _flag_value(argv, "--checkpoint")
     every = _flag_value(argv, "--checkpoint-every")
     resume = _flag_value(argv, "--resume")
-    if ck or every or resume:
+    profile = _flag_value(argv, "--profile")
+    if ck or every or resume or profile:
         import dataclasses
 
         tpu = dataclasses.replace(
@@ -51,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_every=int(every) if every else
             (cfg.tpu.checkpoint_every or (64 if ck else 0)),
             resume_path=resume or cfg.tpu.resume_path,
+            profile_dir=profile or cfg.tpu.profile_dir,
         )
         cfg = dataclasses.replace(cfg, tpu=tpu)
 

@@ -191,6 +191,15 @@ class TpuConfig:
     resume_path: str = ""           # resume a run from a snapshot (media must
     #                                 be the same source; frames consumed
     #                                 before the snapshot are skipped)
+    profile_dir: str = ""           # write a jax.profiler device trace of the
+    #                                 run here (open with TensorBoard/Perfetto
+    #                                 for the per-stage device-time breakdown)
+    global_ba: bool = True          # final full-trajectory BA (matrix-free
+    #                                 LM-PCG, solver/global_ba.py) — corrects
+    #                                 accumulated monocular drift; active when
+    #                                 useBundleAdjustment is on
+    global_ba_iters: int = 30       # LM iterations of the final refine
+    global_ba_cg_iters: int = 32    # CG iterations per LM step
 
 
 @dataclass(frozen=True)

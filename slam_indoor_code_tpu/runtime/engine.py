@@ -64,11 +64,19 @@ class DeviceEngine:
                  logs: LogStreams | None = None, seed: int = 0,
                  dist: np.ndarray | None = None,
                  checkpoint_path: str | None = None,
-                 checkpoint_every: int = 0):
+                 checkpoint_every: int = 0,
+                 collect_global_obs: bool = False):
         import dataclasses
 
         self.media = media
         cfg = dataclasses.replace(cfg, ingest_mode=resolve_ingest(cfg.ingest_mode))
+        if cfg.ingest_mode == "host" and cfg.ingest_downscale > 1 \
+                and 2.0 * float(K[0, 2]) < 1024.0:
+            # gray pooling exists to cut FHD upload bytes; below ~1024 px
+            # width the descriptor-fidelity loss dominates (measured: ATE
+            # 0.002 → 0.067 of extent at 320 px with d=2) while the upload
+            # is already small — disable it (cx ≈ width/2 proxy)
+            cfg = dataclasses.replace(cfg, ingest_downscale=1)
         if cfg.rebind_cap > 0:
             # rebind_radius is specified in FHD-equivalent pixels (1920-wide
             # image); the useful reprojection gate scales with resolution, so
@@ -124,6 +132,10 @@ class DeviceEngine:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = int(checkpoint_every)
         self._last_checkpoint_at = 0
+        # final global BA (solver/global_ba.py): per-window observation
+        # snapshots accumulate host-side; downloads ride the packer thread
+        self.collect_global_obs = collect_global_obs
+        self._global_obs: list = []  # (future(xy, corr), fill, frame ids)
 
     # ------------------------------------------------------------- plumbing
     def _next_key(self):
@@ -390,6 +402,15 @@ class DeviceEngine:
         self._collect_ba(gd, timer)
         if self._win_fill == 0:
             return
+        if self.collect_global_obs:
+            # device copies first: ba_step donates the state, so the window
+            # buffers may be reused by XLA the moment it is dispatched — the
+            # copies stay valid for the async download on the packer thread
+            xy_c = self.state.win_xy + 0.0
+            corr_c = self.state.win_corr + 0
+            fut = self._packer.submit(
+                lambda a=xy_c, b=corr_c: (np.asarray(a), np.asarray(b)))
+            self._global_obs.append((fut, self._win_fill, list(self._win_ids)))
         if self.cfg.use_ba and self._win_fill >= 2:
             self.state, out = steps.ba_step(
                 self.cfg, self.state, jnp.asarray(self._win_fill, jnp.int32))
@@ -514,6 +535,15 @@ class DeviceEngine:
             last_pose = (self.trajectory_R[-1], self.trajectory_t[-1])
         return {"status": status, "global_data": gd,
                 "frames_accepted": self.frames_accepted, "last_pose": last_pose}
+
+    def global_observations(self):
+        """All flushed windows' (xy [f,K,2], corr [f,K], frame ids) — the
+        observation record the final global BA consumes."""
+        out = []
+        for fut, fill, ids in self._global_obs:
+            xy, corr = fut.result()
+            out.append((xy[:fill], corr[:fill], ids[:fill]))
+        return out
 
     # ----------------------------------------------------------- final data
     def snapshot_map(self) -> tuple[np.ndarray, np.ndarray]:

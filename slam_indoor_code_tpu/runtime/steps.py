@@ -391,8 +391,35 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         d2 = (dm + jax.nn.one_hot(bestc, Mr, dtype=dm.dtype) * _knn.BIG
               ).min(axis=1)
         ratio = cfg.ratio * cfg.ratio if cfg.metric == "l2" else cfg.ratio
-        ok_r = (d1 < ratio * d2) | (d2 > _knn.BIG / 2)
-        bind = new_valid & (new_corr < 0) & ok_r & (d1 < _knn.BIG / 2)
+        # the ratio test REQUIRES a real second candidate: a lone candidate
+        # inside the radius carries no evidence the descriptor match is
+        # discriminative, and a wrong bind poisons the next PnP anchor set
+        # (measured: permissive lone-accept tripled ATE under pooled-gray
+        # descriptors) — sparse-map frames simply rebind less
+        ok_r = (d1 < ratio * d2) & (d2 < _knn.BIG / 2)
+        # adaptive absolute gate, self-calibrated per frame: propagated
+        # bindings are known-good feature↔landmark pairs, so the 90th
+        # percentile of THEIR descriptor distances bounds what a genuine
+        # re-bind may look like at the current descriptor quality (pooled
+        # ingest, blur, resolution all shift this scale — a fixed constant
+        # can't track it)
+        lm_ids = jnp.where(is_old, state.prev_corr[train_s], 0)
+        lm_desc = state.map_desc[lm_ids]
+        feat = new_desc[train_s]
+        if cfg.metric == "hamming":
+            good_d = jax.lax.population_count(
+                jnp.bitwise_xor(feat, lm_desc)).sum(-1).astype(jnp.float32)
+        else:
+            diff = feat.astype(jnp.float32) - lm_desc.astype(jnp.float32)
+            good_d = jnp.sum(diff * diff, -1)
+            if cfg.metric == "l1":
+                good_d = jnp.sum(jnp.abs(diff), -1)
+        good_d = jnp.where(is_old, good_d, _knn.BIG)
+        n_good = is_old.sum(dtype=jnp.int32)
+        srt = jnp.sort(good_d)
+        q_idx = jnp.clip((n_good * 9) // 10, 0, good_d.shape[0] - 1)
+        tau = jnp.where(n_good >= 8, srt[q_idx], jnp.float32(-1.0))
+        bind = new_valid & (new_corr < 0) & ok_r & (d1 <= tau)
         new_corr = jnp.where(bind, cand_ids[bestc], new_corr)
 
     aa = matrix_to_rodrigues(Rn)

@@ -140,3 +140,72 @@ def test_windowed_ba_host_adapter(scene, rng):
         reproj.append(e[frames[f].valid])
     rmse = np.sqrt((np.concatenate(reproj) ** 2).mean())
     assert rmse < 0.5, f"final reprojection RMSE {rmse:.3f}px"
+
+
+# ------------------------------------------------------- global refinement
+def test_global_ba_recovers_drifted_trajectory():
+    """Matrix-free LM-PCG global BA (solver/global_ba.py): a trajectory with
+    simulated accumulated drift must be pulled back to the ground truth.
+    The windowed dense-Schur solver cannot scale to this camera count; the
+    PCG solver touches only O(observations) memory."""
+    import cv2
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
+    from slam_indoor_code_tpu.solver.global_ba import (GlobalBAConfig,
+                                                       global_bundle_adjust)
+    from slam_indoor_code_tpu.testing import make_scene
+
+    N, P = 24, 800
+    sc = make_scene(n_points=P, n_frames=N, seed=3, baseline=0.3,
+                    kind="hallway")
+    rng = np.random.default_rng(0)
+    uv_l, ci_l, pi_l = [], [], []
+    for f in range(N):
+        uvf, vis = sc.project(f, noise=0.4, rng=rng)
+        ids = np.flatnonzero(vis)[:400]
+        uv_l.append(uvf[ids])
+        ci_l.append(np.full(len(ids), f, np.int32))
+        pi_l.append(ids.astype(np.int32))
+    uv = np.concatenate(uv_l).astype(np.float32)
+    ci = np.concatenate(ci_l)
+    pi = np.concatenate(pi_l)
+    O = len(uv)
+    Opad = -(-O // 1024) * 1024
+    uv = np.concatenate([uv, np.zeros((Opad - O, 2), np.float32)])
+    ci = np.concatenate([ci, np.zeros(Opad - O, np.int32)])
+    pi = np.concatenate([pi, np.zeros(Opad - O, np.int32)])
+    mask = np.concatenate([np.ones(O, bool), np.zeros(Opad - O, bool)])
+
+    cams = np.zeros((N, 6), np.float32)
+    for f in range(N):
+        aa, _ = cv2.Rodrigues(sc.rotations[f])
+        drift = 0.03 * f / N
+        cams[f, :3] = aa.ravel() + rng.normal(0, drift, 3)
+        cams[f, 3:] = sc.translations[f] * (1 + drift) + rng.normal(0, drift, 3)
+    pts = sc.points.astype(np.float32) + rng.normal(
+        0, 0.05, (P, 3)).astype(np.float32)
+    K4 = jnp.asarray([sc.K[0, 0], sc.K[1, 1], sc.K[0, 2], sc.K[1, 2]],
+                     jnp.float32)
+    cfg = GlobalBAConfig(max_iters=20, cg_iters=24)
+    camsf, ptsf, info = global_bundle_adjust(
+        cfg, K4, jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(uv),
+        jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(mask))
+    camsf = np.asarray(camsf)
+
+    def centers(c6):
+        out = []
+        for i in range(N):
+            R, _ = cv2.Rodrigues(np.asarray(c6[i, :3], np.float64))
+            out.append(-R.T @ c6[i, 3:])
+        return np.array(out)
+
+    gt = sc.centers()
+    ext = np.linalg.norm(gt.max(0) - gt.min(0))
+    a0 = absolute_trajectory_error(centers(cams), gt) / ext
+    a1 = absolute_trajectory_error(centers(camsf), gt) / ext
+    assert a1 < 0.01, f"refined ATE {a1:.4f} of extent"
+    assert a1 < 0.35 * a0, (a0, a1)
+    # camera 0 is the gauge anchor — untouched
+    np.testing.assert_allclose(camsf[0], cams[0])
+    assert float(np.asarray(info["final_rmse"])) < 1.0

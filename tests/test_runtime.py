@@ -300,3 +300,75 @@ def test_checkpoint_kill_and_resume_identical_tail(rt_scene, tmp_path):
     # the resumed run continues to the end of the sequence
     assert max(int(f) for f in gd_b2.frame_ids) == max(
         int(f) for f in gd_a.frame_ids)
+
+
+def test_profile_dir_writes_device_trace(rt_scene, tmp_path):
+    """tpu.profile_dir integrates jax.profiler into the product run
+    (SURVEY.md §5.1): the per-stage device-time breakdown lands on disk."""
+    import dataclasses
+    import glob
+
+    cfg = _cfg(tmp_path / "out", True)
+    cfg = dataclasses.replace(
+        cfg, tpu=dataclasses.replace(cfg.tpu,
+                                     profile_dir=str(tmp_path / "trace")))
+    frames = [rt_scene.render(i) for i in range(8)]
+    slam_main(cfg, rt_scene.K, frames=frames)
+    dumps = glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                      recursive=True)
+    assert dumps, "no xplane trace written"
+    assert "Profiling device trace" in (tmp_path / "out" / "main.txt").read_text()
+
+
+def test_engine_small_batch_large_window(rt_scene, tmp_path):
+    """framesBatchSize < BA window: the fused window legitimately drains the
+    scan pool mid-window (documented divergence from the classic per-frame
+    refill, PARITY.md batch row) — the engine must still track the whole
+    sequence across windows."""
+    cfg = _cfg(tmp_path, True, framesBatchSize=3, useBundleAdjustment=True,
+               BAMaxFramesCnt=8, BAUseHuberLossFunction=True,
+               BAHuberLossFunctionParameter=2.0)
+    frames = [rt_scene.render(i) for i in range(14)]
+    gd = slam_main(cfg, rt_scene.K, frames=frames)
+    assert len(gd.rotations) >= 10
+    est = camera_centers(gd.rotations, gd.positions)
+    gt = rt_scene.centers()[: len(est)]
+    ate = absolute_trajectory_error(est, gt)
+    ext = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert ate < 0.08 * ext, f"ATE {ate/ext:.3f} of extent"
+
+
+def test_global_ba_bounds_long_run_drift(tmp_path_factory):
+    """64-frame drift bound (BASELINE: ATE ≤ 5% of trajectory extent): the
+    final global BA (matrix-free LM-PCG, solver/global_ba.py) must pull the
+    accumulated monocular scale drift back under the bound, and must improve
+    on the windowed-only trajectory."""
+    import dataclasses
+
+    scene = make_scene(n_points=1200, n_frames=64, seed=7, baseline=0.25,
+                       image_size=(240, 320), kind="hallway")
+    frames = [scene.render(i) for i in range(64)]
+
+    def run(global_ba, out):
+        cfg = _cfg(out, True, useBundleAdjustment=True, framesBatchSize=12,
+                   BAMaxFramesCnt=8, BAUseHuberLossFunction=True,
+                   BAHuberLossFunctionParameter=2.0,
+                   requiredExtractedPointsCount=60,
+                   requiredMatchedPointsCount=25)
+        cfg = dataclasses.replace(
+            cfg, tpu=dataclasses.replace(cfg.tpu, global_ba=global_ba,
+                                         max_keypoints=768))
+        gd = slam_main(cfg, scene.K, frames=list(frames))
+        est = camera_centers(gd.rotations, gd.positions)
+        ids = (gd.frame_ids if len(gd.frame_ids) == len(est)
+               else np.arange(len(est)))
+        gt = scene.centers()[ids]
+        ate = absolute_trajectory_error(est, gt)
+        ext = np.linalg.norm(gt.max(0) - gt.min(0))
+        return len(est), ate / ext
+
+    n_off, rel_off = run(False, tmp_path_factory.mktemp("off"))
+    n_on, rel_on = run(True, tmp_path_factory.mktemp("on"))
+    assert n_on >= 48
+    assert rel_on < 0.05, f"drift {rel_on:.3f} of extent (windowed-only {rel_off:.3f})"
+    assert rel_on <= rel_off + 1e-6, (rel_on, rel_off)
