@@ -23,6 +23,8 @@ from .utils.timer import ChronoTimer
 
 def make_media(cfg: Config, frames=None):
     if frames is not None:
+        if hasattr(frames, "next_frame"):
+            return frames  # an already-built MediaSource-compatible source
         return ArraySource(frames)
     return MediaSource(
         photos_pattern=cfg.photosPathPattern,
@@ -132,7 +134,10 @@ def _global_refine(engine, gd: GlobalData, logs, cfg: Config):
     N = len(gd.rotations)
     if not obs or N < 12:
         return None
-    fid2idx = {int(f): i for i, f in enumerate(gd.frame_ids)}
+    # -1 placeholder frame ids (short windows / unknown slots) must not key
+    # the camera map: duplicate -1 keys would collapse onto one camera and
+    # attach another window's observations to it
+    fid2idx = {int(f): i for i, f in enumerate(gd.frame_ids) if int(f) >= 0}
     Kslots = engine.cfg.max_keypoints
     rows, uv_l, pid_l = [], [], []
     for xy, corr, ids in obs:
@@ -215,6 +220,7 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
     )
 
     resume = False
+    global_data = GlobalData()
     if cfg.tpu.resume_path:
         from .runtime import checkpoint_next_fid, load_checkpoint
 
@@ -223,12 +229,20 @@ def _slam_main_device(cfg: Config, K: np.ndarray, frames=None,
         # skipped; in-flight frames re-pull deterministically (checkpoint.py)
         for _ in range(checkpoint_next_fid(cfg.tpu.resume_path)):
             media.next_frame()
+        # re-emit the pre-kill (post-BA) trajectory: a resumed run's output
+        # is the FULL run's output, and pre-kill poses are logged again so
+        # poses.txt / onlyViz reload stay complete
+        if engine.flushed_R:
+            global_data.append_cameras(
+                np.stack(engine.flushed_R), np.stack(engine.flushed_t),
+                list(engine.flushed_ids))
+            for R, t in zip(engine.flushed_R, engine.flushed_t):
+                logs.write_pose(np.asarray(R, np.float64).reshape(3, 3),
+                                np.asarray(t, np.float64).reshape(3))
         resume = True
         logs.main.write(
             f"Resumed from {cfg.tpu.resume_path} at "
             f"{engine.frames_accepted} frames\n")
-
-    global_data = GlobalData()
     init_R, init_t = np.eye(3), np.zeros(3)
     profiler = None
     if cfg.tpu.profile_dir:

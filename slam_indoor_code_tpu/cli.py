@@ -47,10 +47,18 @@ def main(argv: list[str] | None = None) -> int:
     if ck or every or resume or profile:
         import dataclasses
 
+        if every is not None:
+            try:
+                every = int(every)
+            except ValueError:
+                # same exit-2 contract as config schema errors (config.cpp:23-52)
+                print(f"--checkpoint-every expects an integer, got '{every}'",
+                      file=sys.stderr)
+                return 2
         tpu = dataclasses.replace(
             cfg.tpu,
             checkpoint_path=ck or cfg.tpu.checkpoint_path,
-            checkpoint_every=int(every) if every else
+            checkpoint_every=every if every else
             (cfg.tpu.checkpoint_every or (64 if ck else 0)),
             resume_path=resume or cfg.tpu.resume_path,
             profile_dir=profile or cfg.tpu.profile_dir,

@@ -32,12 +32,30 @@ def save_checkpoint(path: str, engine) -> None:
     # position for an identical continuation
     arrays["host_prev_fid"] = np.asarray(engine._prev_fid)
     arrays["host_win_ids"] = np.asarray(engine._win_ids, np.int64)
+    # flushed (post-BA) trajectory so far: a resumed run re-emits the full
+    # output trajectory, not just its tail (format v3)
+    arrays["host_flushed_R"] = (np.stack(engine.flushed_R)
+                                if engine.flushed_R else np.zeros((0, 3, 3)))
+    arrays["host_flushed_t"] = (np.stack(engine.flushed_t)
+                                if engine.flushed_t else np.zeros((0, 3)))
+    arrays["host_flushed_ids"] = np.asarray(engine.flushed_ids, np.int64)
+    # per-window observation record for the final global BA: without it a
+    # resumed run would refine over a truncated problem and its trajectory
+    # would legally diverge from the uninterrupted run's
+    arrays["obs_n"] = np.asarray(len(engine._global_obs))
+    for i, (fut, fill, ids) in enumerate(engine._global_obs):
+        xy, corr = fut.result()
+        arrays[f"obs_xy_{i}"] = np.asarray(xy[:fill])
+        arrays[f"obs_corr_{i}"] = np.asarray(corr[:fill])
+        arrays[f"obs_ids_{i}"] = np.asarray(ids[:fill], np.int64)
     np.savez_compressed(path, **arrays)
 
 
 def checkpoint_next_fid(path: str) -> int:
-    """Source frame index a resumed run must restart its media at."""
-    return int(np.load(path)["host_prev_fid"]) + 1
+    """Source frame index a resumed run must restart its media at (0 for a
+    pre-v2 snapshot without media cursors — mirrors load_checkpoint's guard)."""
+    data = np.load(path)
+    return int(data["host_prev_fid"]) + 1 if "host_prev_fid" in data else 0
 
 
 def load_checkpoint(path: str, engine) -> None:
@@ -68,3 +86,24 @@ def load_checkpoint(path: str, engine) -> None:
         engine._prev_fid = int(data["host_prev_fid"])
         engine._frame_counter = engine._prev_fid + 1
         engine._win_ids = [int(i) for i in data["host_win_ids"]]
+    if "host_flushed_ids" in data:  # format v3: flushed trajectory + obs
+        engine.flushed_R = list(data["host_flushed_R"])
+        engine.flushed_t = list(data["host_flushed_t"])
+        engine.flushed_ids = [int(i) for i in data["host_flushed_ids"]]
+
+        class _Resolved:
+            """Future stand-in for an already-downloaded observation pair."""
+
+            def __init__(self, value):
+                self._value = value
+
+            def result(self):
+                return self._value
+
+        engine._global_obs = []
+        for i in range(int(data["obs_n"])):
+            xy = data[f"obs_xy_{i}"]
+            corr = data[f"obs_corr_{i}"]
+            ids = [int(j) for j in data[f"obs_ids_{i}"]]
+            engine._global_obs.append(
+                (_Resolved((xy, corr)), xy.shape[0], ids))

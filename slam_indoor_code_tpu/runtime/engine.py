@@ -136,6 +136,13 @@ class DeviceEngine:
         # snapshots accumulate host-side; downloads ride the packer thread
         self.collect_global_obs = collect_global_obs
         self._global_obs: list = []  # (future(xy, corr), fill, frame ids)
+        # flushed (post-BA) trajectory mirror, engine-lifetime: what the
+        # checkpoint persists so a resumed run reproduces the FULL output
+        # trajectory (and an identical final global-BA problem), not just
+        # the post-resume tail
+        self.flushed_R: list = []
+        self.flushed_t: list = []
+        self.flushed_ids: list = []
 
     # ------------------------------------------------------------- plumbing
     def _next_key(self):
@@ -261,7 +268,13 @@ class DeviceEngine:
     def fill(self) -> None:
         t0 = ChronoTimer()
         filled = False
-        while len(self.batch) < self.batch_size:
+        # fill past framesBatchSize by one BA window of headroom: the scan
+        # consumes ~1 frame/step, and every step must still see a FULL
+        # batch_size candidate window (advance_window's `visible`).  Without
+        # the headroom the late scan steps' candidate sets depend on ingest
+        # chunk phase — nondeterministic across kill-and-resume.
+        target = self.batch_size + self.cfg.window
+        while len(self.batch) < target:
             # keep the wire fed before any blocking download
             while len(self._staged) < 2 and self._stage_chunk():
                 pass
@@ -312,10 +325,12 @@ class DeviceEngine:
             self._collect_ingest()
 
     def _match_select(self):
-        B = self.batch_size + self.cfg.fill_chunk
+        B = self.batch_size + max(self.cfg.fill_chunk, self.cfg.window)
         order = np.zeros(B, np.int32)
         mask = np.zeros(B, bool)
-        n = min(len(self.batch), B)
+        # candidate window capped at framesBatchSize — reference batch
+        # semantics AND resume determinism (see advance_window's `visible`)
+        n = min(len(self.batch), self.batch_size)
         order[:n] = self.batch[:n]
         mask[:n] = True
         train_all, mask_all, info, counts = steps.match_select(
@@ -390,8 +405,11 @@ class DeviceEngine:
             timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
             timer.update_last_point()
         for i in range(fill):
-            gd.append_cameras(Rmats[i][None], cams[i, 3:][None],
-                              [ids[i] if i < len(ids) else -1])
+            fid = ids[i] if i < len(ids) else -1
+            gd.append_cameras(Rmats[i][None], cams[i, 3:][None], [fid])
+            self.flushed_R.append(Rmats[i])
+            self.flushed_t.append(cams[i, 3:])
+            self.flushed_ids.append(fid)
 
     def _flush_window(self, gd: GlobalData, timer: ChronoTimer):
         """BA (if enabled) then move window poses to the trajectory
@@ -425,12 +443,16 @@ class DeviceEngine:
                     self.trajectory_R[-self._win_fill:],
                     self.trajectory_t[-self._win_fill:])):
                 ids = self._win_ids
+                fid = ids[i] if i < len(ids) else -1
                 gd.append_cameras(np.asarray(R)[None], np.asarray(t)[None],
-                                  [ids[i] if i < len(ids) else -1])
+                                  [fid])
+                self.flushed_R.append(np.asarray(R, np.float64))
+                self.flushed_t.append(np.asarray(t, np.float64))
+                self.flushed_ids.append(fid)
         self._win_fill = 0
         self._win_ids = []
 
-    def _maybe_checkpoint(self):
+    def _maybe_checkpoint(self, gd: GlobalData, timer: ChronoTimer):
         """Snapshot at a window boundary (called right after a flush, when
         the BA window is empty and consumption is at a clean frame-id
         cursor — see checkpoint.py for the resume contract)."""
@@ -439,6 +461,11 @@ class DeviceEngine:
                 >= self.checkpoint_every):
             from .checkpoint import save_checkpoint
 
+            # settle the just-dispatched window BA so the snapshot's flushed
+            # trajectory covers every accepted frame — otherwise the
+            # in-flight window's poses would exist in neither the snapshot
+            # nor the resumed run's output
+            self._collect_ba(gd, timer)
             save_checkpoint(self.checkpoint_path, self)
             self._last_checkpoint_at = self.frames_accepted
             if self.logs:
@@ -460,7 +487,7 @@ class DeviceEngine:
                 return {"status": "no_data", "global_data": gd,
                         "frames_accepted": 0, "last_pose": None}
         status = "interrupted"
-        B = self.batch_size + self.cfg.fill_chunk
+        B = self.batch_size + max(self.cfg.fill_chunk, self.cfg.window)
         while True:
             self.fill()
             if not self.batch:
@@ -468,7 +495,7 @@ class DeviceEngine:
                 break
             if self._win_fill >= self.cfg.window:
                 self._flush_window(gd, timer)
-                self._maybe_checkpoint()
+                self._maybe_checkpoint(gd, timer)
             # windowed device loop: up to (window - win_fill) frames tracked
             # in ONE dispatch + ONE ~1KB download.  t_steps is always the
             # full window so exactly ONE advance_window program ever
@@ -485,7 +512,8 @@ class DeviceEngine:
             self.state, packed, _qh, _ql = steps.advance_window(
                 self.cfg, self.state, jnp.asarray(queue),
                 jnp.asarray(0, jnp.int32), jnp.asarray(nq, jnp.int32),
-                jnp.asarray(self._win_fill, jnp.int32), keys, T)
+                jnp.asarray(self._win_fill, jnp.int32), keys, T,
+                visible=self.batch_size)
             packed = np.asarray(packed)
             if self.logs:
                 self.logs.time.write(f"Matching time for window of {T}")

@@ -92,7 +92,7 @@ class EngineConfig:
             max_keypoints=cfg.tpu.max_keypoints,
             # ring holds the live batch plus up to two staged (in-flight
             # upload) chunks plus the admit scratch chunk
-            ring=cfg.framesBatchSize + 24,
+            ring=cfg.framesBatchSize + cfg.BAMaxFramesCnt + 24,
             map_cap=cfg.tpu.max_map_points,
             window=cfg.BAMaxFramesCnt,
             window_points=cfg.tpu.window_points,

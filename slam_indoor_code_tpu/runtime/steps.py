@@ -403,7 +403,10 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         # re-bind may look like at the current descriptor quality (pooled
         # ingest, blur, resolution all shift this scale — a fixed constant
         # can't track it)
-        lm_ids = jnp.where(is_old, state.prev_corr[train_s], 0)
+        # is_old lives on the prev-keypoint (match) axis: row i's propagated
+        # binding is landmark state.prev_corr[i] observed as feature
+        # new_desc[train_s[i]] — the same pairing the new_corr scatter uses
+        lm_ids = jnp.where(is_old, state.prev_corr, 0)
         lm_desc = state.map_desc[lm_ids]
         feat = new_desc[train_s]
         if cfg.metric == "hamming":
@@ -562,12 +565,12 @@ def advance_step(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
 
 
 # ----------------------------------------------------- windowed device loop
-@partial(jax.jit, static_argnames=("cfg", "t_steps"),
+@partial(jax.jit, static_argnames=("cfg", "t_steps", "visible"),
          donate_argnums=(1,))
 def advance_window(cfg: EngineConfig, state: TrackerState,
                    queue: jnp.ndarray, q_head: jnp.ndarray,
                    q_len: jnp.ndarray, win_fill: jnp.ndarray,
-                   keys: jnp.ndarray, t_steps: int):
+                   keys: jnp.ndarray, t_steps: int, visible: int = 0):
     """Process up to ``t_steps`` frames in ONE dispatch via a device loop.
 
     The candidate queue (ring-slot ids, circular over Q entries) is consumed
@@ -591,7 +594,15 @@ def advance_window(cfg: EngineConfig, state: TrackerState,
 
         order_idx = (q_head + iota_q) % Q
         order = queue[order_idx]
-        order_mask = (iota_q < q_len) & active
+        # `visible` caps the candidate window each step scans to the
+        # reference's framesBatchSize (batch.cpp:120-148 scans exactly one
+        # filled batch).  This also makes the candidate set a deterministic
+        # function of the consumption point: without the cap it depends on
+        # ingest chunk phase (how far prefetch admitted past batch_size),
+        # which a resumed run cannot reconstruct — kill-and-resume would
+        # legally diverge from the uninterrupted run.
+        vis = jnp.minimum(q_len, visible) if visible > 0 else q_len
+        order_mask = (iota_q < vis) & active
 
         desc_b, valid_b = _maybe_shard(cfg, state.ring_desc[order],
                                        state.ring_valid[order])

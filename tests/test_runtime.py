@@ -262,23 +262,45 @@ def test_checkpoint_kill_and_resume_identical_tail(rt_scene, tmp_path):
     """Kill-and-resume through the PRODUCT surface (tpu.checkpoint_* config):
     a run killed after a periodic snapshot and resumed from it must produce
     exactly the trajectory an uninterrupted run produces (deterministic
-    re-pull of in-flight frames — checkpoint.py resume contract)."""
+    re-pull of in-flight frames — checkpoint.py resume contract).
+
+    The kill is a mid-run media failure on the SAME workload (an exception
+    out of next_frame), so the killed run is a true prefix of the
+    uninterrupted one.  Truncating the frame list instead would change the
+    workload: near the media end the candidate batch shrinks, the good-frame
+    rule can pick different frames, and the snapshot would legitimately
+    diverge from the uninterrupted trajectory before the kill."""
     import dataclasses
 
-    frames = [rt_scene.render(i % 14) for i in range(24)]
+    from slam_indoor_code_tpu.io.media import ArraySource
+
+    # long enough that the kill (a media exception) lands well after several
+    # checkpoints despite the ~2-chunk ingest prefetch running ahead of
+    # acceptance; the i%14 wrap makes the workload periodic, not truncated
+    frames = [rt_scene.render(i % 14) for i in range(48)]
     base = _cfg(tmp_path / "a", True, useBundleAdjustment=True,
                 BAMaxFramesCnt=4, BAUseHuberLossFunction=True,
                 BAHuberLossFunctionParameter=2.0)
     gd_a = slam_main(base, rt_scene.K, frames=list(frames))
 
+    class KilledSource(ArraySource):
+        def __init__(self, frames, kill_after):
+            super().__init__(frames)
+            self._kill_after = kill_after
+
+        def next_frame(self):
+            if self._i >= self._kill_after:
+                raise RuntimeError("simulated crash")
+            return super().next_frame()
+
     ck = str(tmp_path / "run.npz")
     cfg_b1 = dataclasses.replace(
         base, outputDataDir=str(tmp_path / "b1"),
         tpu=dataclasses.replace(base.tpu, checkpoint_path=ck,
-                                checkpoint_every=6))
-    # "kill" after 16 frames: the snapshot at the last window boundary
-    # before the cut is what a real crash leaves behind
-    slam_main(cfg_b1, rt_scene.K, frames=list(frames[:16]))
+                                checkpoint_every=4))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        slam_main(cfg_b1, rt_scene.K,
+                  frames=KilledSource(list(frames), kill_after=40))
 
     cfg_b2 = dataclasses.replace(
         base, outputDataDir=str(tmp_path / "b2"),
