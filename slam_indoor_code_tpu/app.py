@@ -184,13 +184,25 @@ def _global_refine(engine, gd: GlobalData, logs, cfg: Config):
     # relay link is the bottleneck; only the live landmarks travel
     n_pts = int(np.asarray(engine.state.map_count))
     ptsf = np.asarray(ptsf[:n_pts], np.float64)
+    rmse0 = float(np.asarray(info["initial_rmse"]))
+    rmse1 = float(np.asarray(info["final_rmse"]))
     logs.main.write(
         "Global Bundle Adjustment statistics (approximated RMSE):\n"
         f" #residuals: {int(np.asarray(info['num_residuals']))}\n"
         f" #cameras: {N}\n"
-        f" Initial RMSE: {float(np.asarray(info['initial_rmse'])):.6f}\n"
-        f" Final RMSE: {float(np.asarray(info['final_rmse'])):.6f}\n")
+        f" Initial RMSE: {rmse0:.6f}\n"
+        f" Final RMSE: {rmse1:.6f}\n")
     t0.print_start_delta("Global bundle adjustment: ", logs.time)
+    # Safety valve: the LM loop accepts steps only on cost decrease, so the
+    # final RMSE cannot exceed the initial one on the SAME problem — but a
+    # degenerate observation record (near-empty, or all-outlier) can leave
+    # RMSE flat while the gauge slides.  Reject the refinement outright when
+    # it failed to improve the reprojection error; the windowed trajectory is
+    # then the final answer (exceeds bundleAdjustment.cpp:122-127, which
+    # never validates its own windows).
+    if not np.isfinite(rmse1) or rmse1 >= rmse0:
+        logs.main.write("Global BA rejected (no RMSE improvement)\n")
+        return None
     for i in range(N):
         R, _ = cv2.Rodrigues(camsf[i, :3])
         gd.rotations[i] = R

@@ -37,8 +37,21 @@ def l2_distance_sq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def l1_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[N,D] × [M,D] → [N,M] L1 (used by the reference's CUDA SIFT_BF path)."""
-    return jnp.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+    """[N,D] × [M,D] → [N,M] L1 (used by the reference's CUDA SIFT_BF path,
+    featureMatchingCUDA.cpp:19-46 NORM_L1).
+
+    Tiled over the query axis with ``lax.map`` so the peak intermediate is
+    [TILE,M,D], never [N,M,D] — at 10k×10k×128 the naive broadcast is a
+    ~50 GB tensor; tiling bounds it to ~400 MB regardless of N.  (On TPU the
+    Pallas fused kernel handles L1 instead — see ops/pallas_kernels.py.)"""
+    TILE = 128
+    n = a.shape[0]
+    pad = (-n) % TILE
+    a_p = jnp.pad(a, ((0, pad), (0, 0)))
+    chunks = a_p.reshape(-1, TILE, a.shape[1])
+    d = jax.lax.map(
+        lambda ac: jnp.abs(ac[:, None, :] - b[None, :, :]).sum(-1), chunks)
+    return d.reshape(-1, b.shape[0])[:n]
 
 
 def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +87,7 @@ def _pallas_enabled(metric: str) -> bool:
 
     if os.environ.get("SLAM_TPU_NO_PALLAS"):
         return False
-    return jax.default_backend() == "tpu" and metric in ("l2", "hamming")
+    return jax.default_backend() == "tpu" and metric in ("l2", "l1", "hamming")
 
 
 @partial(jax.jit, static_argnames=("metric",))

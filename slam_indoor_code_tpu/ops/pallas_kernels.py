@@ -83,6 +83,45 @@ def _l2_kernel(a_ref, b_ref, bmask_ref, d1_ref, i1_ref, d2_ref):
     d2_ref[:] = jnp.broadcast_to(d2, (d2.shape[0], lanes))
 
 
+def _l1_kernel(a_ref, b_ref, bmask_ref, d1_ref, i1_ref, d2_ref):
+    """Fused L1 distance + top-2 (the reference CUDA backend's SIFT_BF
+    metric, NORM_L1 — featureMatchingCUDA.cpp:19-46).
+
+    L1 has no matmul identity, so the tile is built on the VPU: one
+    broadcast |a[:,d] − b[:,d]| accumulation per descriptor dim (D is
+    static, the loop unrolls; each pass is a [TN1,TM1] rank-1 update —
+    lane-parallel over the b axis).  The [N,M] matrix still never leaves
+    VMEM."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        d1_ref[:] = jnp.full_like(d1_ref, BIG)
+        d2_ref[:] = jnp.full_like(d2_ref, BIG)
+        i1_ref[:] = jnp.zeros_like(i1_ref)
+
+    a = a_ref[:]                      # [TN1,D] f32
+    b = b_ref[:]                      # [TM1,D] f32
+    D = a.shape[1]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+    for d in range(D):
+        acc = acc + jnp.abs(a[:, d:d + 1] - b[:, d:d + 1].T)
+    tile = jnp.where(bmask_ref[0:1, :], acc, BIG)
+
+    d1, i1, d2 = _merge_top2(
+        d1_ref[:, 0:1], i1_ref[:, 0:1], d2_ref[:, 0:1], tile,
+        j * tile.shape[1])
+    lanes = d1_ref.shape[1]
+    d1_ref[:] = jnp.broadcast_to(d1, (d1.shape[0], lanes))
+    i1_ref[:] = jnp.broadcast_to(i1, (i1.shape[0], lanes))
+    d2_ref[:] = jnp.broadcast_to(d2, (d2.shape[0], lanes))
+
+
+# L1 tiles are smaller: the VPU accumulation touches the [TN1,TM1] tile D
+# times, so the tile must stay VMEM-resident alongside both operand tiles.
+TN1, TM1 = 512, 512
+
+
 def _pad_rows(x, mult):
     n = x.shape[0]
     pad = (-n) % mult
@@ -109,36 +148,40 @@ def top2_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
         # ORB matching rides the same MXU kernel.
         a = _unpack_bits(desc_a)
         b = _unpack_bits(desc_b)
+    elif metric == "l1":
+        a = desc_a.astype(jnp.float32)
+        b = desc_b.astype(jnp.float32)
     else:
         raise ValueError(f"pallas top2: unsupported metric {metric!r}")
-    kernel = _l2_kernel
+    kernel = _l1_kernel if metric == "l1" else _l2_kernel
+    tn, tm = (TN1, TM1) if metric == "l1" else (TN, TM)
 
-    a, n = _pad_rows(a, TN)
-    b, m = _pad_rows(b, TM)
+    a, n = _pad_rows(a, tn)
+    b, m = _pad_rows(b, tm)
     vmask = jnp.pad(valid_b, (0, b.shape[0] - m), constant_values=False)
     N, D = a.shape
     M = b.shape[0]
     # column mask as a broadcast row [rows, M]: each (1?,TM) block slices it
     vmask2d = jnp.broadcast_to(vmask[None, :], (8, M))
 
-    grid = (N // TN, M // TM)
+    grid = (N // tn, M // tm)
     d1, i1, d2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TN, D), lambda i, j: (i, 0),
+            pl.BlockSpec((tn, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, D), lambda i, j: (j, 0),
+            pl.BlockSpec((tm, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TM), lambda i, j: (0, j),
+            pl.BlockSpec((8, tm), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TN, LANE), lambda i, j: (i, 0),
+            pl.BlockSpec((tn, LANE), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, LANE), lambda i, j: (i, 0),
+            pl.BlockSpec((tn, LANE), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, LANE), lambda i, j: (i, 0),
+            pl.BlockSpec((tn, LANE), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -515,15 +515,25 @@ class DeviceEngine:
                 jnp.asarray(self._win_fill, jnp.int32), keys, T,
                 visible=self.batch_size)
             packed = np.asarray(packed)
-            if self.logs:
-                self.logs.time.write(f"Matching time for window of {T}")
-                t_adv.print_start_delta(": ", self.logs.time)
+            # per-index "Matching time" lines (batch.cpp:155-157 format): the
+            # window runs as ONE fused dispatch, so the wall time is
+            # apportioned equally over the steps that actually scanned the
+            # batch — time.txt stays line-for-line comparable with the
+            # reference logs (one line per chosen index, FRAME_NOT_FOUND=-2
+            # on the failed scan)
+            win_ms = t_adv.start_delta_ms()
+            n_active = int((packed[:, 0] > 0.5).sum())
+            share_ms = win_ms / max(n_active, 1)
 
             stop = None
             for tstep in range(T):
                 row = packed[tstep]
                 if row[0] < 0.5:          # inactive: queue drained
                     break
+                if self.logs:
+                    idx = int(row[2]) if row[1] > 0.5 else FRAME_NOT_FOUND
+                    self.logs.time.write(
+                        f"Matching time for index {idx} : {share_ms:.0f}\n")
                 if row[1] < 0.5:          # FRAME_NOT_FOUND
                     stop = "interrupted"
                     if self.logs:

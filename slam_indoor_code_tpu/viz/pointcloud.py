@@ -169,10 +169,79 @@ def visualize_global_data(gd, cfg, *, interactive: bool | None = None,
             if len(gd.colors) == len(gd.points):
                 pcd.colors = o3d.utility.Vector3dVector(
                     np.asarray(gd.colors, np.float64) / 255.0)
-            o3d.visualization.draw_geometries([pcd])
+            show_flycam([pcd])
         except ImportError:
             pass
     return artifacts
+
+
+def flycam_callbacks(view_translate, speed0: float = 1.0) -> dict:
+    """Fly-cam key bindings with the reference's semantics (KeyboardViz3d,
+    vizualizationModule.cpp:187-250): W/S forward/back and A/D strafe along
+    the yaw heading, SPACE up / C down (speed², like the reference), +/-
+    adjust speed in 0.25 steps within [0.25, 2.5].
+
+    ``view_translate(delta_cam_xyz)`` applies a camera-frame translation —
+    injected so the mapping is unit-testable without a GUI.  Returns
+    {key: callback}; callbacks return True (geometry needs re-render)."""
+    state = {"speed": float(speed0)}
+
+    def move(dx, dy, dz):
+        def cb(_vis=None):
+            s = state["speed"]
+            view_translate((dx * s, dy * abs(s) * s, dz * s))
+            return True
+        return cb
+
+    def bump(delta):
+        def cb(_vis=None):
+            s = state["speed"] + delta
+            state["speed"] = min(2.5, max(0.25, s))
+            return True
+        return cb
+
+    return {
+        "W": move(0.0, 0.0, 1.0),
+        "S": move(0.0, 0.0, -1.0),
+        "A": move(-1.0, 0.0, 0.0),
+        "D": move(1.0, 0.0, 0.0),
+        " ": move(0.0, -1.0, 0.0),   # space: up (viz y points down)
+        "C": move(0.0, 1.0, 0.0),
+        "+": bump(0.25),
+        "-": bump(-0.25),
+        "_speed": state,             # exposed for tests
+    }
+
+
+def show_flycam(geometries, speed: float = 1.0) -> None:
+    """Open3D window with WASD/space/C fly-cam navigation — the interactive
+    counterpart of the reference's cv::viz window + KeyboardViz3d handler
+    (vizualizationModule.cpp:136-147, :187-250)."""
+    import open3d as o3d
+
+    vis = o3d.visualization.VisualizerWithKeyCallback()
+    vis.create_window(window_name="slam_indoor_code_tpu")
+    for g in geometries:
+        vis.add_geometry(g)
+
+    def translate_cam(delta):
+        ctr = vis.get_view_control()
+        cam = ctr.convert_to_pinhole_camera_parameters()
+        ext = np.asarray(cam.extrinsic).copy()
+        # extrinsic is world→camera: moving the camera by delta (in camera
+        # coords) shifts the translation column by -delta
+        ext[:3, 3] -= np.asarray(delta, np.float64)
+        cam.extrinsic = ext
+        ctr.convert_from_pinhole_camera_parameters(cam, allow_arbitrary=True)
+
+    cbs = flycam_callbacks(translate_cam, speed)
+    for key, cb in cbs.items():
+        if key == "_speed":
+            continue
+        code = 32 if key == " " else ord(key)
+        vis.register_key_callback(code, cb)
+    vis.run()
+    vis.destroy_window()
 
 
 def matches_overlay(

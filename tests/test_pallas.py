@@ -39,6 +39,29 @@ def test_hamming_top2_matches_reference(rng):
     np.testing.assert_array_equal(np.asarray(d2), d_sorted[:, 1])
 
 
+def test_l1_top2_matches_reference(rng):
+    a = jnp.asarray(rng.normal(size=(40, 32)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(96, 32)), jnp.float32)
+    vb = jnp.asarray(rng.random(96) > 0.1)
+    d1, i1, d2 = top2_pallas(a, b, vb, metric="l1", interpret=True)
+    d_ref = np.array(knn.l1_distance(a, b))
+    d_ref[:, ~np.asarray(vb)] = 1e30
+    # f32 VPU accumulation: exact up to float addition order
+    np.testing.assert_array_equal(np.asarray(i1), d_ref.argmin(1))
+    np.testing.assert_allclose(np.asarray(d1), d_ref.min(1), rtol=1e-5)
+    d_sorted = np.sort(d_ref, axis=1)
+    np.testing.assert_allclose(np.asarray(d2), d_sorted[:, 1], rtol=1e-5)
+
+
+def test_l1_tiled_never_materializes_full_tensor(rng):
+    # correctness of the lax.map tiling itself (odd N exercises padding)
+    a = jnp.asarray(rng.normal(size=(131, 16)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(77, 16)), jnp.float32)
+    got = np.asarray(knn.l1_distance(a, b))
+    want = np.abs(np.asarray(a)[:, None, :] - np.asarray(b)[None, :, :]).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_column_mask_excludes_padding(rng):
     a = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
     b = jnp.zeros((64, 16), jnp.float32)  # all-zero descs would win L2

@@ -130,3 +130,36 @@ def test_exports(tmp_path, rng):
     t = np.zeros((3, 3))
     render_png(str(png), pts, cols, R, t)
     assert png.stat().st_size > 1000
+
+
+def test_flycam_callbacks_reference_semantics():
+    """Key mapping mirrors KeyboardViz3d (vizualizationModule.cpp:187-250):
+    W/S move ±forward, A/D strafe, space up / C down by speed², +/- clamp
+    speed to [0.25, 2.5]."""
+    from slam_indoor_code_tpu.viz.pointcloud import flycam_callbacks
+
+    moves = []
+    cbs = flycam_callbacks(moves.append, speed0=1.0)
+    cbs["W"]()
+    cbs["S"]()
+    cbs["A"]()
+    cbs["D"]()
+    cbs[" "]()
+    cbs["C"]()
+    assert moves == [(0.0, 0.0, 1.0), (0.0, 0.0, -1.0), (-1.0, 0.0, 0.0),
+                     (1.0, 0.0, 0.0), (0.0, -1.0, 0.0), (0.0, 1.0, 0.0)]
+    # speed bump changes step size; space scales with speed^2 (reference)
+    cbs["+"]()
+    assert cbs["_speed"]["speed"] == 1.25
+    moves.clear()
+    cbs["W"]()
+    cbs[" "]()
+    assert moves[0] == (0.0, 0.0, 1.25)
+    assert moves[1] == (0.0, -1.25 * 1.25, 0.0)
+    # clamp: never below 0.25 or above 2.5
+    for _ in range(20):
+        cbs["-"]()
+    assert cbs["_speed"]["speed"] == 0.25
+    for _ in range(20):
+        cbs["+"]()
+    assert cbs["_speed"]["speed"] == 2.5
