@@ -12,6 +12,9 @@ import sys
 import time
 
 os.environ.setdefault("SLAM_TPU_PLATFORM", "cpu")
+# TPU-host AOT artifacts in the shared cache change CPU float rounding
+# (tests/conftest.py rationale) — keep this testbed on its own cache
+os.environ.setdefault("SLAM_TPU_CACHE_DIR", "/tmp/jax_cache_cpu_testbed")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
@@ -45,10 +48,19 @@ def main():
                        kind="hallway")
     frames = [scene.render(i) for i in range(n_frames)]
     variants = {
-        "base": {"tpu": {"global_ba": False}},
-        "norebind": {"tpu": {"global_ba": False, "rebind_cap": 0}},
+        "anc": {"tpu": {"global_ba": False, "rebind_cap": 8192}},
+        "anc_gba": {"tpu": {"global_ba": True, "rebind_cap": 8192}},
+        "anc_par2": {"tpu": {"global_ba": False, "rebind_cap": 8192,
+                             "parallax_min_deg": 2.0}},
+        "anc_fz": {"tpu": {"global_ba": False, "rebind_cap": 8192,
+                           "ba_freeze_old": True}},
+        "noanc": {"tpu": {"global_ba": False, "rebind_cap": 8192,
+                          "anchored_triangulation": False}},
     }
+    only = os.environ.get("ACC_VARIANTS")
     for tag, patch in variants.items():
+        if only and tag not in only.split(","):
+            continue
         run(dict(patch), scene, frames, tag)
 
 

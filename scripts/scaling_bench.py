@@ -1,0 +1,158 @@
+"""Scaling measurement: distributed Schur BA over a virtual device mesh.
+
+BASELINE.json asks for BA iterations/s at 1 chip / 1 host / N hosts and
+>=75% scaling efficiency.  Multi-chip TPU hardware is not reachable from this
+environment, so this harness measures the REAL sharded solver
+(parallel.ba_sharded.ShardedBA — psum-reduced camera system, device-local
+landmarks) on a virtual N-device CPU mesh and records, per mesh size:
+
+- weak scaling: per-device landmark/observation load held constant
+  (problem grows with N) — the pod-relevant regime;
+- strong scaling: fixed problem split N ways;
+- psum bytes/iteration (analytic: the [D,D]+[D] camera-system reduce and
+  the two cost scalars are the ONLY collectives).
+
+Writes SCALING.json; SCALING.md interprets the numbers and projects to ICI.
+
+Run: python scripts/scaling_bench.py   (forces an 8-device CPU platform)
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["SLAM_TPU_NO_COMPILE_CACHE"] = "1"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def build_problem(n_points, n_frames=8, obs_per_frame=2048, seed=0):
+    import cv2
+
+    from slam_indoor_code_tpu.testing import make_scene
+
+    scene = make_scene(n_points=n_points, n_frames=n_frames, seed=seed,
+                       baseline=0.3, image_size=(1080, 1920), kind="hallway")
+    rng = np.random.default_rng(seed)
+    pts = scene.points.astype(np.float32)
+    K = scene.K
+    F = n_frames
+    Kslots = obs_per_frame
+    uv = np.zeros((F, Kslots, 2), np.float32)
+    pidx = np.zeros((F, Kslots), np.int32)
+    mask = np.zeros((F, Kslots), bool)
+    cams = np.zeros((F, 6), np.float32)
+    for f in range(F):
+        R, t = scene.rotations[f], scene.translations[f]
+        aa, _ = cv2.Rodrigues(R)
+        cams[f, :3] = aa.ravel()
+        cams[f, 3:] = t
+        Xc = pts @ R.T + t
+        pix = Xc @ K.T
+        z = pix[:, 2:]
+        vis = (z[:, 0] > 0.1)
+        uvf = pix[:, :2] / np.maximum(z, 1e-9)
+        vis &= ((uvf[:, 0] >= 0) & (uvf[:, 0] < 1920)
+                & (uvf[:, 1] >= 0) & (uvf[:, 1] < 1080))
+        ids = np.flatnonzero(vis)
+        ids = rng.permutation(ids)[:Kslots]
+        k = len(ids)
+        uv[f, :k] = uvf[ids] + rng.normal(0, 0.5, (k, 2))
+        pidx[f, :k] = ids
+        mask[f, :k] = True
+    cams += rng.normal(0, 0.01, cams.shape).astype(np.float32)
+    pts = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    K4 = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], np.float32)
+    pmask = np.ones(len(pts), bool)
+    return K4, cams, pts, uv, pidx, mask, pmask, int(mask.sum())
+
+
+def time_solver(mesh, cfg, problem, reps=5):
+    from slam_indoor_code_tpu.parallel.ba_sharded import ShardedBA
+
+    K4, cams, pts, uv, pidx, mask, pmask, n_obs = problem
+    ba = ShardedBA(mesh, cfg, window=uv.shape[0])
+    r = ba.solve(K4, cams, pts, uv, pidx, mask, pmask)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = ba.solve(K4, cams, pts, uv, pidx, mask, pmask)
+    dt = (time.perf_counter() - t0) / reps
+    assert r.final_cost < r.initial_cost
+    return dt, n_obs
+
+
+def main():
+    import jax
+
+    from slam_indoor_code_tpu.parallel.mesh import make_mesh
+    from slam_indoor_code_tpu.solver.ba import BAConfig
+
+    n_dev_avail = len(jax.devices())
+    iters = 20
+    cfg = BAConfig(loss="huber", loss_param=2.0, max_iters=iters,
+                   fix_intrinsics=True)
+    F = 8
+    D = 4 + 6 * F
+    psum_bytes_per_iter = 4 * (D * D + D + 2)   # S + rhs + 2 cost scalars
+
+    results = {"device": "virtual-cpu", "lm_iters_per_solve": iters,
+               "psum_bytes_per_iter": psum_bytes_per_iter,
+               "weak": [], "strong": []}
+
+    # ---- weak scaling: ~4096 points / ~16k obs PER DEVICE
+    for nd in (1, 2, 4, 8):
+        if nd > n_dev_avail:
+            continue
+        mesh = make_mesh((nd,), ("batch",))
+        problem = build_problem(n_points=4096 * nd, n_frames=F,
+                                obs_per_frame=2048 * nd)
+        dt, n_obs = time_solver(mesh, cfg, problem)
+        ips = iters / dt
+        results["weak"].append(
+            {"n_devices": nd, "n_obs": n_obs, "solve_s": round(dt, 4),
+             "lm_iters_per_s": round(ips, 2)})
+        print(f"[weak] n={nd}: obs={n_obs} {dt*1e3:.1f} ms/solve "
+              f"-> {ips:.1f} LM iters/s", flush=True)
+
+    # ---- strong scaling: fixed 32k-point / 16k-obs problem
+    problem = build_problem(n_points=32768, n_frames=F, obs_per_frame=2048)
+    for nd in (1, 2, 4, 8):
+        if nd > n_dev_avail:
+            continue
+        mesh = make_mesh((nd,), ("batch",))
+        dt, n_obs = time_solver(mesh, cfg, problem)
+        ips = iters / dt
+        results["strong"].append(
+            {"n_devices": nd, "n_obs": n_obs, "solve_s": round(dt, 4),
+             "lm_iters_per_s": round(ips, 2)})
+        print(f"[strong] n={nd}: obs={n_obs} {dt*1e3:.1f} ms/solve "
+              f"-> {ips:.1f} LM iters/s", flush=True)
+
+    w1 = results["weak"][0]["solve_s"]
+    wN = results["weak"][-1]["solve_s"]
+    nN = results["weak"][-1]["n_devices"]
+    # weak efficiency: time should stay flat as load*N grows
+    results["weak_scaling_efficiency"] = round(w1 / wN, 3)
+    s1 = results["strong"][0]["solve_s"]
+    sN = results["strong"][-1]["solve_s"]
+    results["strong_speedup"] = round(s1 / sN, 3)
+    results["strong_efficiency"] = round(s1 / sN / nN, 3)
+    print(f"weak efficiency (1->{nN}): {results['weak_scaling_efficiency']}\n"
+          f"strong speedup (1->{nN}): {results['strong_speedup']} "
+          f"(efficiency {results['strong_efficiency']})", flush=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,23 @@ class TpuConfig:
     profile_dir: str = ""           # write a jax.profiler device trace of the
     #                                 run here (open with TensorBoard/Perfetto
     #                                 for the per-stage device-time breakdown)
+    ba_freeze_old: bool = False     # windowed BA holds landmarks created
+    #                                 before the current window fixed (they
+    #                                 anchor the cameras; only window-born
+    #                                 points move).  Off by default: anchoring
+    #                                 helps only once triangulation scale is
+    #                                 healthy (see anchored_triangulation);
+    #                                 False = the reference's
+    #                                 adjust-everything behaviour
+    anchored_triangulation: bool = True  # delayed triangulation: each track
+    #                                 carries its first-observation (anchor)
+    #                                 pose+pixel and only becomes a landmark
+    #                                 once the anchor baseline passes the
+    #                                 parallax gate — kills the monocular
+    #                                 scale collapse of consecutive-frame
+    #                                 triangulation
+    parallax_min_deg: float = 1.0   # minimum anchor-ray angle for landmark
+    #                                 creation (degrees)
     global_ba: bool = True          # final full-trajectory BA (matrix-free
     #                                 LM-PCG, solver/global_ba.py) — corrects
     #                                 accumulated monocular drift; active when

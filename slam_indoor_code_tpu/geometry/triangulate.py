@@ -104,6 +104,53 @@ def triangulate_midpoint(
     return X
 
 
+def triangulate_midpoint_anchored(
+    K: jnp.ndarray,
+    R1: jnp.ndarray,        # [N,3,3] PER-ROW first-view rotations
+    t1: jnp.ndarray,        # [N,3]   per-row first-view translations
+    R2: jnp.ndarray,        # [3,3]   shared second view
+    t2: jnp.ndarray,        # [3]
+    uv1: jnp.ndarray,       # [N,2]
+    uv2: jnp.ndarray,       # [N,2]
+    mask: jnp.ndarray | None = None,
+):
+    """Midpoint triangulation where every correspondence has its OWN first
+    view — the delayed-triangulation primitive: a feature track carries its
+    first-observation (anchor) pose+pixel forward, and triangulates against
+    the current frame only once the anchor baseline has real parallax.
+    Returns (X [N,3], cos_parallax [N]) — cos of the ray angle, the gate the
+    caller applies (low parallax ⇒ cos→1 ⇒ depth unobservable; consecutive-
+    frame triangulation of far points is what collapses monocular scale).
+
+    No reference counterpart: the reference always triangulates consecutive
+    accepted frames (mainCycle.cpp:187, triangulate.cpp:74-100) and relies on
+    feature decay to space its frames."""
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones((uv1.shape[0], 1), uv1.dtype)
+    pix1 = jnp.concatenate([uv1, ones], axis=-1)
+    pix2 = jnp.concatenate([uv2, ones], axis=-1)
+    # d = Rᵀ K⁻¹ pix per row; C = -Rᵀ t per row
+    d1 = jnp.einsum("nij,nj->ni", R1.transpose(0, 2, 1), pix1 @ Kinv.T)
+    C1 = -jnp.einsum("nij,nj->ni", R1.transpose(0, 2, 1), t1)
+    d2 = (pix2 @ Kinv.T) @ R2
+    C2 = -R2.T @ t2
+    b = C2[None, :] - C1                      # [N,3]
+    a11 = jnp.sum(d1 * d1, -1)
+    a12 = jnp.sum(d1 * d2, -1)
+    a22 = jnp.sum(d2 * d2, -1)
+    b1 = jnp.sum(d1 * b, -1)
+    b2 = jnp.sum(d2 * b, -1)
+    det = a11 * a22 - a12 * a12
+    safe_det = jnp.maximum(det, 1e-12 * jnp.maximum(a11 * a22, 1e-20))
+    s = (b1 * a22 - b2 * a12) / safe_det
+    u = (b1 * a12 - b2 * a11) / safe_det
+    X = 0.5 * ((C1 + s[:, None] * d1) + (C2[None, :] + u[:, None] * d2))
+    cosang = a12 / jnp.sqrt(jnp.maximum(a11 * a22, 1e-20))
+    if mask is not None:
+        X = jnp.where(mask[:, None], X, 0.0)
+    return X, cosang
+
+
 def reconstruct(
     K: jnp.ndarray,
     R1: jnp.ndarray,

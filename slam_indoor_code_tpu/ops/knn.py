@@ -25,7 +25,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(3.0e38)
+import numpy as _np
+
+# numpy scalar, NOT jnp: a module-level jnp constant would instantiate the
+# XLA backend at import time, which breaks multi-host bring-up
+# (jax.distributed.initialize must run before any backend init — see
+# parallel.mesh.initialize_distributed and tests/test_parallel.py)
+BIG = _np.float32(3.0e38)
 
 
 def l2_distance_sq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

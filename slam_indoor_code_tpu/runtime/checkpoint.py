@@ -69,6 +69,26 @@ def load_checkpoint(path: str, engine) -> None:
     data = np.load(path)
     fields = {}
     for k in TrackerState._fields:
+        if f"state_{k}" not in data:
+            # pre-v4 snapshot: sensible fresh defaults — BA freeze base at 0
+            # (everything free) and track anchors re-seeded at the resume
+            # frame (tracks transiently triangulate consecutively again)
+            if k == "win_map_base":
+                fields[k] = jnp.zeros((), jnp.int32)
+                continue
+            if k == "prev_anchor_xy":
+                fields[k] = jnp.asarray(data["state_prev_xy"], jnp.float32)
+                continue
+            if k == "prev_anchor_cam":
+                from ..geometry.rotations import matrix_to_rodrigues
+
+                R = jnp.asarray(data["state_pose_R"], jnp.float32)
+                t = jnp.asarray(data["state_pose_t"], jnp.float32)
+                cam6 = jnp.concatenate([matrix_to_rodrigues(R), t])
+                k_slots = data["state_prev_xy"].shape[0]
+                fields[k] = jnp.broadcast_to(cam6, (k_slots, 6))
+                continue
+            raise ValueError(f"checkpoint missing field {k} (snapshot too old)")
         arr = data[f"state_{k}"]
         cur = getattr(engine.state, k)
         if tuple(arr.shape) != tuple(cur.shape):

@@ -76,6 +76,9 @@ class EngineConfig:
     ba_iters: int = 25
     ba_obs_cap: int = 4096
     ba_adjust_intrinsics: bool = False
+    ba_freeze_old: bool = False
+    anchored_tri: bool = True
+    parallax_min_deg: float = 1.0
 
     @property
     def desc_dim(self) -> int:
@@ -124,6 +127,9 @@ class EngineConfig:
             ba_loss_param=float(param),
             ba_iters=cfg.tpu.ba_max_iters,
             ba_adjust_intrinsics=cfg.tpu.ba_adjust_intrinsics,
+            ba_freeze_old=cfg.tpu.ba_freeze_old,
+            anchored_tri=cfg.tpu.anchored_triangulation,
+            parallax_min_deg=float(cfg.tpu.parallax_min_deg),
         )
 
 
@@ -144,6 +150,12 @@ class TrackerState(NamedTuple):
     prev_valid: jnp.ndarray   # [K] bool
     prev_desc: jnp.ndarray    # [K,D]
     prev_corr: jnp.ndarray    # [K] i32 (-1 = unbound)
+    # track anchors (delayed triangulation): first-observation pose+pixel of
+    # each live track, inherited along the match chain — unbound tracks
+    # triangulate against THIS view once the baseline passes the parallax
+    # gate, not against the adjacent frame
+    prev_anchor_cam: jnp.ndarray  # [K,6] angle-axis+t of the anchor view
+    prev_anchor_xy: jnp.ndarray   # [K,2] pixel in the anchor view
     pose_R: jnp.ndarray       # [3,3] world→camera of prev frame
     pose_t: jnp.ndarray       # [3]
 
@@ -158,6 +170,10 @@ class TrackerState(NamedTuple):
     win_corr: jnp.ndarray     # [F,K] i32
     win_cams: jnp.ndarray     # [F,6] angle-axis+t
     win_used: jnp.ndarray     # [F] bool
+    # map_count at the current window's start: landmarks with id below this
+    # were settled by earlier windows and are FROZEN in this window's BA
+    # (they anchor the cameras; ba_step only moves window-born landmarks)
+    win_map_base: jnp.ndarray  # () i32
 
 
 def init_state(K: np.ndarray, cfg: EngineConfig,
@@ -178,6 +194,8 @@ def init_state(K: np.ndarray, cfg: EngineConfig,
         prev_valid=jnp.zeros((k,), bool),
         prev_desc=jnp.zeros((k, desc_dim), desc_dtype),
         prev_corr=jnp.full((k,), -1, jnp.int32),
+        prev_anchor_cam=jnp.zeros((k, 6), f32),
+        prev_anchor_xy=jnp.zeros((k, 2), f32),
         pose_R=jnp.eye(3, dtype=f32),
         pose_t=jnp.zeros((3,), f32),
         ring_xy=jnp.zeros((ring, k, 2), f32),
@@ -188,4 +206,5 @@ def init_state(K: np.ndarray, cfg: EngineConfig,
         win_corr=jnp.full((window, k), -1, jnp.int32),
         win_cams=jnp.zeros((window, 6), f32),
         win_used=jnp.zeros((window,), bool),
+        win_map_base=jnp.zeros((), jnp.int32),
     )

@@ -149,11 +149,16 @@ def set_prev_from_slot(cfg: EngineConfig, state: TrackerState,
                        slot: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
     """Promote a ring slot to the previous/reference frame (bootstrap first
     frame or head-promotion fallback), with pose (R,t)."""
+    xy = state.ring_xy[slot]
+    aa = matrix_to_rodrigues(R.astype(jnp.float32))
+    cam6 = jnp.concatenate([aa, t.astype(jnp.float32)])
     return state._replace(
-        prev_xy=state.ring_xy[slot],
+        prev_xy=xy,
         prev_valid=state.ring_valid[slot],
         prev_desc=state.ring_desc[slot],
         prev_corr=jnp.full_like(state.prev_corr, -1),
+        prev_anchor_cam=jnp.broadcast_to(cam6, (xy.shape[0], 6)),
+        prev_anchor_xy=xy,
         pose_R=R.astype(jnp.float32),
         pose_t=t.astype(jnp.float32),
     )
@@ -213,6 +218,22 @@ def _verify_gates(cfg, K, Rp, tp, Rn, tn, X, uv1, uv2):
     return (e1 < g) & (e2 < g) & (z1 > 0) & (z2 > 0)
 
 
+def _verify_gates_anchored(cfg, K, R1s, t1s, Rn, tn, X, uv1, uv2):
+    """_verify_gates with a PER-ROW first view (the track anchors)."""
+
+    def reproj_rows(Xc, uv):
+        pix = Xc @ K.T
+        safe = jnp.where(jnp.abs(pix[:, 2:3]) < 1e-9, 1e-9, pix[:, 2:3])
+        e = jnp.linalg.norm(pix[:, :2] / safe - uv, axis=1)
+        return e, Xc[:, 2]
+
+    Xc1 = jnp.einsum("nij,nj->ni", R1s, X) + t1s
+    e1, z1 = reproj_rows(Xc1, uv1)
+    e2, z2 = reproj_rows(X @ Rn.T + tn, uv2)
+    g = cfg.reproj_gate_px
+    return (e1 < g) & (e2 < g) & (z1 > 0) & (z2 > 0)
+
+
 def _append_points(state: TrackerState, pts, colors, desc, add_mask):
     """Scatter-append masked points (+ their creation-frame descriptors, used
     by map re-binding); returns (state, ids [K], n_added)."""
@@ -262,6 +283,9 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         distance_threshold=cfg.distance_threshold,
         num_hypotheses=cfg.ransac_iters,
     )
+    # a (re)bootstrap starts a fresh window: the previous sub-map's landmarks
+    # are frozen anchors from here on (win_map_base = pre-append count)
+    state = state._replace(win_map_base=state.map_count)
     chir = pose["chirality_mask"]
     R2, t2 = compose_with_world(state.pose_R, state.pose_t, pose["R"], pose["t"])
 
@@ -287,11 +311,25 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         jnp.concatenate([aa2, t2]))
     win_used = state.win_used.at[0].set(True).at[1].set(True)
 
+    # track anchors for the new prev frame: matched features inherit the
+    # FIRST frame as their anchor (their track started there); fresh features
+    # anchor at this second frame
+    cam2 = jnp.concatenate([aa2, t2])
+    anchor_cam = jnp.broadcast_to(cam2, (K_slots, 6))
+    anchor_xy = new_xy
+    cam1 = jnp.concatenate([aa1, state.pose_t])
+    anchor_cam = anchor_cam.at[jnp.where(mask, train_s, K_slots)].set(
+        jnp.broadcast_to(cam1, (K_slots, 6)), mode="drop")
+    anchor_xy = anchor_xy.at[jnp.where(mask, train_s, K_slots)].set(
+        uv1, mode="drop")
+
     state = state._replace(
         prev_xy=new_xy,
         prev_valid=state.ring_valid[slot],
         prev_desc=state.ring_desc[slot],
         prev_corr=second_corr,
+        prev_anchor_cam=anchor_cam,
+        prev_anchor_xy=anchor_xy,
         pose_R=R2,
         pose_t=t2,
         win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
@@ -328,12 +366,33 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
                            prior_R=state.pose_R, prior_t=state.pose_t)
     Rn, tn = pnp["R"], pnp["t"]
 
-    # triangulate all matches vs prev frame
+    # triangulate all matches — against each track's ANCHOR view (delayed
+    # triangulation) or, classically, against the adjacent prev frame.
+    # Consecutive-frame baselines are tiny; their far-point depths are pure
+    # noise and feeding them to PnP collapses the monocular scale
+    # exponentially (measured: est/gt step-scale decayed 3.9→0.0 over 96
+    # frames).  The anchor path only creates a landmark once the ray angle
+    # passes the parallax gate.
     uv1 = state.prev_xy
     uv2 = uvh
-    X = reconstruct(K, state.pose_R, state.pose_t, Rn, tn, uv1, uv2, mask)
-    verified = _verify_gates(cfg, K, state.pose_R, state.pose_t, Rn, tn,
-                             X, uv1, uv2)
+    if cfg.anchored_tri:
+        from ..geometry.triangulate import triangulate_midpoint_anchored
+
+        R1s = jax.vmap(rodrigues_to_matrix)(state.prev_anchor_cam[:, :3])
+        t1s = state.prev_anchor_cam[:, 3:]
+        auv1 = state.prev_anchor_xy
+        X, cospar = triangulate_midpoint_anchored(
+            K, R1s, t1s, Rn, tn, auv1, uv2, mask)
+        verified = _verify_gates_anchored(cfg, K, R1s, t1s, Rn, tn,
+                                          X, auv1, uv2)
+        import math as _math
+
+        par_ok = cospar < _math.cos(_math.radians(cfg.parallax_min_deg))
+        verified = verified & par_ok
+    else:
+        X = reconstruct(K, state.pose_R, state.pose_t, Rn, tn, uv1, uv2, mask)
+        verified = _verify_gates(cfg, K, state.pose_R, state.pose_t, Rn, tn,
+                                 X, uv1, uv2)
 
     # existing-binding re-verification before propagation
     e_old, z_old = (lambda Xc: (jnp.linalg.norm(
@@ -344,36 +403,31 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
     # few loose ones — BA's robust loss handles those)
     prop_ok = (e_old < 2.0 * cfg.reproj_gate_px) & (z_old > 0)
 
-    add_mask = mask & (state.prev_corr < 0) & verified & ok
-    colors = state.ring_colors[slot][train_s]
-    desc_created = state.ring_desc[slot][train_s]
-    state2, ids, n_new = _append_points(state, X, colors, desc_created,
-                                        add_mask)
-
     K_slots = uv1.shape[0]
     is_old = mask & (state.prev_corr >= 0) & prop_ok
     new_corr = jnp.full((K_slots,), -1, jnp.int32)
     new_corr = new_corr.at[jnp.where(is_old, train_s, K_slots)].set(
         jnp.where(is_old, state.prev_corr, -1), mode="drop")
-    new_corr = new_corr.at[jnp.where(add_mask, train_s, K_slots)].set(
-        ids, mode="drop")
-    # prev_corr gains the fresh ids too (pushNewSpatialPoints mutates both)
-    prev_corr2 = jnp.where(add_mask, ids, state.prev_corr)
 
     # ---- map re-binding (anti-drift; no reference counterpart — bindings
     # there only propagate frame-to-frame and die at the first missed match,
     # so PnP progressively anchors on younger, already-drifted landmarks).
-    # Unbound features of the accepted frame are matched against the last
-    # rebind_cap landmarks: projected within rebind_radius px under the PnP
-    # pose AND passing the descriptor ratio test.  Re-bound features become
-    # PnP anchors for the next frame, tying the trajectory back to older
-    # geometry and preventing duplicate landmark creation.
+    # Runs BEFORE landmark creation: a feature that re-binds to existing
+    # geometry must not spawn a duplicate landmark.  Candidates are sampled
+    # UNIFORMLY over the map's age range (strided by map_count), not
+    # recency-limited: long-range ties to old landmarks are what (a) anchor
+    # PnP against accumulated drift and (b) give the final global BA the
+    # long-track signal without which smooth drift is an unobservable gauge
+    # direction (see tests/test_ba.py windowed-graph test).  A bind needs:
+    # projected within rebind_radius px under the PnP pose, descriptor ratio
+    # test within the radius set, and an adaptive absolute gate.
     if cfg.rebind_cap > 0:
         from ..ops import knn as _knn
 
         Mr = cfg.rebind_cap
-        base = jnp.maximum(state.map_count - Mr, 0)
-        cand_ids = base + jnp.arange(Mr, dtype=jnp.int32)
+        stride_n = jnp.maximum(state.map_count, Mr)
+        cand_ids = ((jnp.arange(Mr, dtype=jnp.int32)
+                     * stride_n) // Mr).astype(jnp.int32)
         cand_real = cand_ids < state.map_count      # pre-append landmarks
         cand_X = state.map_points[cand_ids]
         cand_desc = state.map_desc[cand_ids]
@@ -425,11 +479,37 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         bind = new_valid & (new_corr < 0) & ok_r & (d1 <= tau)
         new_corr = jnp.where(bind, cand_ids[bestc], new_corr)
 
+    # landmark creation AFTER re-binding: only matched+verified features that
+    # are still unbound triangulate a new landmark (pushNewSpatialPoints
+    # dedup semantics, mainCycleInternals.cpp:222-246 — the reference dedups
+    # against the prev frame's bindings; re-binding extends the dedup to the
+    # whole map)
+    bound_after = new_corr[train_s] >= 0
+    add_mask = mask & (state.prev_corr < 0) & verified & ok & ~bound_after
+    colors = state.ring_colors[slot][train_s]
+    desc_created = state.ring_desc[slot][train_s]
+    state2, ids, n_new = _append_points(state, X, colors, desc_created,
+                                        add_mask)
+    new_corr = new_corr.at[jnp.where(add_mask, train_s, K_slots)].set(
+        ids, mode="drop")
+
     aa = matrix_to_rodrigues(Rn)
     win_xy = state2.win_xy.at[win_pos].set(new_xy)
     win_corr = state2.win_corr.at[win_pos].set(new_corr)
     win_cams = state2.win_cams.at[win_pos].set(jnp.concatenate([aa, tn]))
     win_used = state2.win_used.at[win_pos].set(True)
+
+    # anchor inheritance: a matched feature keeps its track's anchor
+    # (pose+pixel of first observation); fresh features anchor at this frame
+    cam_n = jnp.concatenate([aa, tn])
+    anchor_cam_new = jnp.broadcast_to(cam_n, (K_slots, 6))
+    anchor_xy_new = new_xy
+    if cfg.anchored_tri:
+        scat = jnp.where(mask, train_s, K_slots)
+        anchor_cam_new = anchor_cam_new.at[scat].set(
+            state.prev_anchor_cam, mode="drop")
+        anchor_xy_new = anchor_xy_new.at[scat].set(
+            state.prev_anchor_xy, mode="drop")
 
     def _sel(new, old):
         return jax.tree_util.tree_map(
@@ -437,7 +517,9 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
 
     accepted = state2._replace(
         prev_xy=new_xy, prev_valid=new_valid, prev_desc=new_desc,
-        prev_corr=new_corr, pose_R=Rn, pose_t=tn,
+        prev_corr=new_corr,
+        prev_anchor_cam=anchor_cam_new, prev_anchor_xy=anchor_xy_new,
+        pose_R=Rn, pose_t=tn,
         win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
     )
     # note: _append_points already ran on state→state2; gate the whole state
@@ -483,10 +565,17 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
     bacfg = BAConfig(loss=cfg.ba_loss, loss_param=cfg.ba_loss_param,
                      max_iters=cfg.ba_iters, obs_cap=cfg.ba_obs_cap,
                      fix_intrinsics=not cfg.ba_adjust_intrinsics,
-                     shard_obs=bool(cfg.mesh_shape))
+                     shard_obs=bool(cfg.mesh_shape),
+                     gauge_frame0=not cfg.ba_freeze_old)
+    # fixed-landmark anchoring: only landmarks born in THIS window may move;
+    # earlier windows' landmarks constrain the poses but stay put, so a
+    # window cannot bend the settled map toward its own drift
+    pfree = None
+    if cfg.ba_freeze_old:
+        pfree = jnp.where(pmask, uids, 0) >= state.win_map_base
     K4f, camsf, ptsf, info = bundle_adjust_window(
         bacfg, state.K4, state.win_cams, pts, state.win_xy, local,
-        obs_mask, pmask,
+        obs_mask, pmask, pfree,
     )
 
     P = state.map_points.shape[0]
@@ -503,6 +592,8 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
         pose_t=aa_t[3:],
         win_used=jnp.zeros_like(state.win_used),
         win_corr=jnp.full_like(state.win_corr, -1),
+        # this window's landmarks are now settled: the next window freezes them
+        win_map_base=state.map_count,
     )
     # ONE packed download: [rmse0, rmse1, num_res, n_iters, cams (F*6),
     # Rmats (F*9)] — per-frame host-side rodrigues conversions each cost a

@@ -160,6 +160,13 @@ class BAConfig:
     function_tolerance: float = 1e-6  # Ceres-style early exit: stop when an
     #                                   accepted step improves cost by less
     shard_obs: bool = False  # shard the observation axis over the active mesh
+    gauge_frame0: bool = True  # freeze frame-0 extrinsics (the reference's
+    #                            gauge, bundleAdjustment.cpp:88).  False when
+    #                            frozen landmarks already pin the gauge
+    #                            (point_free) — then every pose may move
+    #                            toward the anchored map; LM damping keeps
+    #                            the problem well-posed if a window happens
+    #                            to contain no frozen observations
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -172,6 +179,14 @@ def bundle_adjust_window(
     point_idx: jnp.ndarray, # [F,K] int32 local point index (any value where masked)
     obs_mask: jnp.ndarray,  # [F,K] bool
     point_mask: jnp.ndarray,  # [P] bool — real (non-padding) points
+    point_free: jnp.ndarray | None = None,  # [P] bool — points the solver may
+    #   MOVE.  Frozen points (False) still constrain the cameras through
+    #   their residuals but are held constant (their J_p is dropped), the
+    #   fixed-landmark anchoring that stops each window from bending the
+    #   already-settled map to fit a drifted pose (runtime.steps.ba_step
+    #   freezes everything created before the current window).  None = all
+    #   real points free (the reference's behaviour: Ceres adjusts every
+    #   window point, bundleAdjustment.cpp:88-106).
 ):
     """One windowed BA solve.  Returns (K4', cams', points', info dict)."""
     F, Kslots = uv.shape[0], uv.shape[1]
@@ -206,6 +221,8 @@ def bundle_adjust_window(
     # shrinks from P to Pc = min(O, P).  Updated points scatter back at the
     # end; unobserved points never move (V empty ⇒ Δp = 0) so nothing is
     # lost.
+    if point_free is None:
+        point_free = jnp.ones_like(point_mask)
     Pc = min(O, P)
     pid_sent = jnp.where(m_obs, pid, P)      # P sorts after every real pid
     puids = jnp.unique(pid_sent, size=Pc, fill_value=P)
@@ -215,6 +232,7 @@ def bundle_adjust_window(
     point_mask_full = point_mask
     points = points_full[gather_ids]
     point_mask = pc_mask & point_mask_full[gather_ids]
+    point_free = pc_mask & point_free[gather_ids]
     loc = jnp.searchsorted(puids, pid_sent).astype(jnp.int32)
     loc = jnp.minimum(loc, Pc - 1)
     m_obs = m_obs & (puids[loc] == pid_sent)
@@ -263,6 +281,9 @@ def bundle_adjust_window(
         J_K = J[:, :, 0:4]            # [O,2,4]
         J_c = J[:, :, 4:10]           # [O,2,6]
         J_p = J[:, :, 10:13]          # [O,2,3]
+        # frozen landmarks: residuals keep constraining the cameras (J_c),
+        # but the point block drops out — V=0 ⇒ Vinv=0 ⇒ Δp=0, S=Hcc
+        J_p = J_p * point_free[pid_safe].astype(J_p.dtype)[:, None, None]
         if cfg.fix_intrinsics:
             J_K = J_K * 0.0
         # dense camera-side Jacobian [O,2,D]
@@ -289,7 +310,7 @@ def bundle_adjust_window(
             jnp.stack([V[:, 0, 0], V[:, 1, 1], V[:, 2, 2]], -1), 1e-9
         )
         Vd = V + jax.vmap(jnp.diag)(lamV)
-        no_obs = ~point_mask | (jnp.abs(Vd).sum((1, 2)) < 1e-12)
+        no_obs = ~point_mask | ~point_free | (jnp.abs(Vd).sum((1, 2)) < 1e-12)
         Vd = jnp.where(no_obs[:, None, None], jnp.eye(3, dtype=V.dtype), Vd)
         Vinv = _inv3(Vd)
         Vinv = jnp.where(no_obs[:, None, None], 0.0, Vinv)
@@ -303,7 +324,7 @@ def bundle_adjust_window(
         gauge = jnp.concatenate(
             [
                 jnp.ones((4,), bool) if not cfg.fix_intrinsics else jnp.zeros((4,), bool),
-                jnp.zeros((6,), bool),
+                jnp.zeros((6,), bool) if cfg.gauge_frame0 else jnp.ones((6,), bool),
                 jnp.ones((6 * (F - 1),), bool),
             ]
         )

@@ -43,7 +43,8 @@ class GlobalBAConfig:
     max_iters: int = 30         # LM (outer) iterations
     cg_iters: int = 32          # CG (inner) iterations per LM step
     init_lambda: float = 1e-4
-    function_tolerance: float = 1e-7
+    function_tolerance: float = 1e-6  # anchored tracking hands this solver a
+    #   near-converged problem; a tighter tolerance only buys dead iterations
 
 
 @partial(jax.jit, static_argnames=("cfg",))

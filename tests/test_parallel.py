@@ -191,3 +191,41 @@ def test_slam_main_on_mesh_matches_single_device(tmp_path):
     gt = scene.centers()[gd_8.frame_ids]
     ate = absolute_trajectory_error(c8, gt)
     assert ate < 0.08 * np.linalg.norm(gt.max(0) - gt.min(0))
+
+
+def test_two_process_distributed_initialize():
+    """Multi-process DCN bring-up (SURVEY.md §5.8): two OS processes join via
+    parallel.mesh.initialize_distributed (TCP coordinator on process 0),
+    build a global 2-device mesh, and psum across the process boundary.
+    Exercises the exact entry point multi-host TPU pods use.  Spawned clean
+    (without the axon sitecustomize) because jax.distributed.initialize must
+    run before any backend init."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "scripts", "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert "global psum 24.0 OK" in out, out[-2000:]
