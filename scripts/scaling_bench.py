@@ -30,6 +30,15 @@ if "host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the environment pre-imports jax on the TPU platform (axon sitecustomize),
+# so the env var alone is too late — force via config, like tests/conftest.py
+# (without this the harness would silently run on — and fight over — the TPU)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
+
 import numpy as np  # noqa: E402
 
 
@@ -138,15 +147,61 @@ def main():
     w1 = results["weak"][0]["solve_s"]
     wN = results["weak"][-1]["solve_s"]
     nN = results["weak"][-1]["n_devices"]
-    # weak efficiency: time should stay flat as load*N grows
-    results["weak_scaling_efficiency"] = round(w1 / wN, 3)
+    # NB: the N virtual devices SHARE one physical CPU — wall-clock ratios
+    # here measure host-core contention, not the algorithm (a weak-scaling
+    # ratio of 1/N is the shared-silicon floor).  Real scaling evidence is
+    # (a) correctness across mesh sizes (asserted in time_solver), and
+    # (b) the measured collective traffic below vs per-device compute.
+    results["virtual_mesh_caveat"] = (
+        "virtual CPU devices share one socket; wall-clock ratios reflect "
+        "core contention, not interconnect scaling")
+    results["weak_time_ratio_1_to_N"] = round(w1 / wN, 3)
     s1 = results["strong"][0]["solve_s"]
     sN = results["strong"][-1]["solve_s"]
-    results["strong_speedup"] = round(s1 / sN, 3)
-    results["strong_efficiency"] = round(s1 / sN / nN, 3)
-    print(f"weak efficiency (1->{nN}): {results['weak_scaling_efficiency']}\n"
-          f"strong speedup (1->{nN}): {results['strong_speedup']} "
-          f"(efficiency {results['strong_efficiency']})", flush=True)
+    results["strong_speedup_shared_cores"] = round(s1 / sN, 3)
+
+    # ---- compiled-HLO collective audit at n=8: the REAL scaling quantity.
+    # The sharded LM solver's only cross-device traffic is the psum of the
+    # reduced camera system (+cost scalars); everything landmark-side is
+    # device-local by construction.  Count it from the compiled module.
+    import re
+
+    from slam_indoor_code_tpu.parallel.ba_sharded import ShardedBA
+
+    mesh = make_mesh((8,), ("batch",))
+    ba = ShardedBA(mesh, cfg, window=F)
+    problem = build_problem(n_points=4096 * 8, n_frames=F,
+                            obs_per_frame=2048 * 8)
+    K4, cams, pts, uv, pidx, mask, pmask, n_obs = problem
+    device_args, _, _ = ba.pack(K4, cams, pts, uv, pidx, mask, pmask)
+    hlo = ba._solver.lower(*device_args).compile().as_text()
+    dtype_bytes = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1,
+                   "bf16": 2}
+    coll = []
+    for m in re.finditer(
+            r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+            r"[^=\n]*=?\s*\(?([a-z0-9]+)\[([0-9,]*)\]", hlo):
+        op, dt, dims = m.group(1), m.group(2), m.group(3)
+        n_el = 1
+        for d in dims.split(","):
+            if d:
+                n_el *= int(d)
+        coll.append({"op": op, "shape": f"{dt}[{dims}]",
+                     "bytes": n_el * dtype_bytes.get(dt, 4)})
+    per_iter = sum(c["bytes"] for c in coll)
+    results["hlo_collectives"] = coll
+    # the while-loop body executes once per LM iteration (+1 init cost psum)
+    results["collective_bytes_per_lm_iter"] = per_iter
+    obs_per_dev = n_obs / 8
+    flops_per_iter_per_dev = obs_per_dev * 2 * (13 * 40 + 52 * 52 / 2)
+    results["per_device_flops_per_iter_est"] = int(flops_per_iter_per_dev)
+    # roofline projection on real TPU v5e ICI (~45 GB/s/link, ~1 us latency)
+    ici_s = per_iter / 45e9 + 2e-6
+    mxu_s = flops_per_iter_per_dev / 100e12 + 50e-6  # + dispatch overheads
+    results["projected_ici_efficiency"] = round(mxu_s / (mxu_s + ici_s), 4)
+    print(f"collectives/iter: {per_iter} B across {len(coll)} ops; "
+          f"projected ICI efficiency {results['projected_ici_efficiency']}",
+          flush=True)
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
     with open(out, "w") as f:

@@ -177,6 +177,14 @@ class TpuConfig:
     #                                 slow-link path); "auto" picks by measured
     #                                 link bandwidth at engine start
     ingest_downscale: int = 2       # host-ingest pooled-gray factor
+    host_descriptor: str = "auto"   # host-ingest descriptor source:
+    #                                 "same"   device describes from pooled gray
+    #                                 "orb"    full-res cv2 ORB on host
+    #                                          (Hamming; ~90 KB/frame upload)
+    #                                 "hybrid" pooled-SIFT ⊕ α·orb bits (L2)
+    #                                 "auto"   orb-configs→orb, sift→hybrid
+    #                                          when the host path is active
+    hybrid_alpha: float = 0.08      # bit-block weight in the hybrid L2
     rebind_cap: int = 4096          # anti-drift map re-binding: match unbound
     #                                 features to the last N landmarks by
     #                                 projected position + descriptor (0 = off,

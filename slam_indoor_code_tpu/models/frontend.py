@@ -240,8 +240,50 @@ def _host_detect_frame(gray: np.ndarray, threshold: float):
     return xy, ixy, int(keep.sum())
 
 
+_CV2_ORB = {}
+
+
+def _cv2_orb():
+    import cv2
+
+    orb = _CV2_ORB.get(0)
+    if orb is None:
+        orb = cv2.ORB_create()
+        _CV2_ORB[0] = orb
+    return orb
+
+
+def _host_orb_bits(gray: np.ndarray, xy: np.ndarray, valid: np.ndarray,
+                   max_keypoints: int) -> np.ndarray:
+    """cv2 ORB descriptors at the detected keypoints, FULL resolution —
+    the reference's own split (descriptors on the host CPU even in its CUDA
+    build, featureMatchingCUDA.cpp:86-108).  Returns packed bits [K,32] u8
+    (zeros where ORB dropped a border keypoint)."""
+    import cv2
+
+    K = max_keypoints
+    out = np.zeros((K, 32), np.uint8)
+    kps = [cv2.KeyPoint(float(x), float(y), 31)
+           for (x, y), v in zip(xy, valid) if v]
+    if not kps:
+        return out
+    kk, desc = _cv2_orb().compute(gray, kps)
+    if desc is None:
+        return out
+    # compute() drops border keypoints but preserves order: walk both lists
+    ci = 0
+    for i, k in enumerate(kps):
+        if ci >= len(kk):
+            break
+        if (abs(kk[ci].pt[0] - k.pt[0]) < 0.01
+                and abs(kk[ci].pt[1] - k.pt[1]) < 0.01):
+            out[i] = desc[ci]
+            ci += 1
+    return out
+
+
 def host_detect_pack(frames, threshold: float, max_keypoints: int,
-                     ingest_downscale: int = 2):
+                     ingest_downscale: int = 2, host_desc: str = "same"):
     """Host-side ingest for a chunk of RGB uint8 frames.
 
     Per frame: BT.601 gray (cv2, matching the reference's cvtColor), FAST
@@ -250,11 +292,20 @@ def host_detect_pack(frames, threshold: float, max_keypoints: int,
     resolution (saveFrameColorOfKeyPoint semantics), and a 1/d mean-pooled
     gray plane for the device-side dense descriptor maps.
 
+    ``host_desc`` adds full-resolution descriptor content the pooled gray
+    cannot carry (measured: pooling costs ~2/3 of the ratio-test matches):
+      - "orb":    cv2 ORB bits per keypoint; the device skips dense describe
+                  entirely and matches by Hamming.  Upload ≈ 90 KB/frame.
+      - "hybrid": ORB bits shipped ALONGSIDE the pooled gray; the device
+                  concatenates pooled-SIFT(128) ⊕ α·bits(256) into one L2
+                  descriptor (Hamming rides L2 exactly on 0/1 vectors).
+      - "same":   pooled gray only (status quo).
+
     Returns dict of numpy arrays:
-      gray_small [C,H/d,W/d] u8, xy [C,K,2] f32 (full-res coords),
-      valid [C,K] bool, colors [C,K,3] u8, counts [C] i32 (post-NMS corner
-      totals — the requiredExtractedPointsCount gate, batch.cpp:242-247,
-      matching the device path's num_corners).
+      gray_small [C,H/d,W/d] u8 (absent for "orb"), xy [C,K,2] f32 (full-res
+      coords), valid [C,K] bool, colors [C,K,3] u8, counts [C] i32
+      (post-NMS corner totals — the requiredExtractedPointsCount gate,
+      batch.cpp:242-247), desc_bits [C,K,32] u8 (for "orb"/"hybrid").
     """
     import cv2
 
@@ -262,11 +313,15 @@ def host_detect_pack(frames, threshold: float, max_keypoints: int,
     C = len(frames)
     H, W = frames[0].shape[:2]
     K = max_keypoints
-    gray_small = np.empty((C, H // d, W // d), np.uint8)
+    want_gray = host_desc != "orb"
+    gray_small = (np.empty((C, H // d, W // d), np.uint8)
+                  if want_gray else None)
     xy = np.zeros((C, K, 2), np.float32)
     valid = np.zeros((C, K), bool)
     colors = np.zeros((C, K, 3), np.uint8)
     counts = np.zeros((C,), np.int32)
+    bits = (np.zeros((C, K, 32), np.uint8)
+            if host_desc in ("orb", "hybrid") else None)
     for i, f in enumerate(frames):
         gray = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)
         kxy, ixy, num = _host_detect_frame(gray, threshold)
@@ -276,15 +331,22 @@ def host_detect_pack(frames, threshold: float, max_keypoints: int,
             xy[i, :n] = kxy[:n]
             valid[i, :n] = True
             colors[i, :n] = f[ixy[:n, 1], ixy[:n, 0]]
-        if d > 1:
-            # INTER_AREA == exact d×d mean: identical pooling to the device
-            # path's describe(downscale=d)
-            gray_small[i] = cv2.resize(gray, (W // d, H // d),
-                                       interpolation=cv2.INTER_AREA)
-        else:
-            gray_small[i] = gray
-    return {"gray_small": gray_small, "xy": xy, "valid": valid,
-            "colors": colors, "counts": counts}
+        if bits is not None:
+            bits[i] = _host_orb_bits(gray, xy[i], valid[i], K)
+        if want_gray:
+            if d > 1:
+                # INTER_AREA == exact d×d mean: identical pooling to the
+                # device path's describe(downscale=d)
+                gray_small[i] = cv2.resize(gray, (W // d, H // d),
+                                           interpolation=cv2.INTER_AREA)
+            else:
+                gray_small[i] = gray
+    out = {"xy": xy, "valid": valid, "colors": colors, "counts": counts}
+    if want_gray:
+        out["gray_small"] = gray_small
+    if bits is not None:
+        out["desc_bits"] = bits
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg", "ingest_downscale"))

@@ -173,16 +173,11 @@ class ShardedBA:
         self.ndev = mesh.shape[axis]
         self._solver = _make_sharded_solver(mesh, cfg, window, axis)
 
-    def solve(
-        self,
-        K4: np.ndarray,            # [4]
-        cams: np.ndarray,          # [F,6]
-        points: np.ndarray,        # [P,3] window points (uid order)
-        uv: np.ndarray,            # [F,K,2]
-        local_idx: np.ndarray,     # [F,K] into points
-        obs_mask: np.ndarray,      # [F,K]
-        point_mask: np.ndarray,    # [P]
-    ) -> ShardedBAResult:
+    def pack(self, K4, cams, points, uv, local_idx, obs_mask, point_mask):
+        """Partition the problem over the mesh: returns (device_args, owner,
+        local_of) — device_args feed ``self._solver`` directly (exposed so
+        harnesses can ``.lower(*device_args)`` and inspect the compiled
+        collectives)."""
         F, Kslots = uv.shape[0], uv.shape[1]
         Pn = len(points)
         nd = self.ndev
@@ -224,7 +219,7 @@ class ShardedBA:
         pid_sh[dev_sel, rank] = local_of[pid_g[sel]]
         omask_sh[dev_sel, rank] = True
 
-        K4f, camsf, ptsf, costs = self._solver(
+        device_args = (
             jnp.asarray(K4, jnp.float32), jnp.asarray(cams, jnp.float32),
             jnp.asarray(pts_sh.reshape(nd * P_cap, 3)),
             jnp.asarray(pmask_sh.reshape(-1)),
@@ -233,6 +228,24 @@ class ShardedBA:
             jnp.asarray(pid_sh.reshape(-1)),
             jnp.asarray(omask_sh.reshape(-1)),
         )
+        return device_args, owner, local_of
+
+    def solve(
+        self,
+        K4: np.ndarray,            # [4]
+        cams: np.ndarray,          # [F,6]
+        points: np.ndarray,        # [P,3] window points (uid order)
+        uv: np.ndarray,            # [F,K,2]
+        local_idx: np.ndarray,     # [F,K] into points
+        obs_mask: np.ndarray,      # [F,K]
+        point_mask: np.ndarray,    # [P]
+    ) -> ShardedBAResult:
+        Pn = len(points)
+        nd = self.ndev
+        P_cap = max(-(-Pn // nd), 1)
+        device_args, owner, local_of = self.pack(
+            K4, cams, points, uv, local_idx, obs_mask, point_mask)
+        K4f, camsf, ptsf, costs = self._solver(*device_args)
         ptsf = np.asarray(ptsf).reshape(nd, P_cap, 3)
         out_points = np.zeros((Pn, 3), np.float64)
         out_points[:] = ptsf[owner, local_of]

@@ -70,6 +70,21 @@ class DeviceEngine:
 
         self.media = media
         cfg = dataclasses.replace(cfg, ingest_mode=resolve_ingest(cfg.ingest_mode))
+        # host-descriptor resolution: on the host-ingest (slow-link) path the
+        # pooled gray costs ~2/3 of the ratio-test matches, so "auto" ships
+        # full-resolution ORB bits from the host — pure Hamming for ORB
+        # configs (exact reference parity: its CUDA build also computes
+        # descriptors on the CPU), SIFT⊕bits hybrid otherwise
+        if cfg.host_desc == "auto":
+            if cfg.ingest_mode == "host":
+                hd = "orb" if cfg.descriptor == "orb" else "hybrid"
+            else:
+                hd = "same"
+            cfg = dataclasses.replace(cfg, host_desc=hd)
+        if cfg.ingest_mode != "host" and cfg.host_desc != "same":
+            cfg = dataclasses.replace(cfg, host_desc="same")
+        if cfg.host_desc == "orb":
+            cfg = dataclasses.replace(cfg, metric="hamming")
         if cfg.ingest_mode == "host" and cfg.ingest_downscale > 1 \
                 and 2.0 * float(K[0, 2]) < 1024.0:
             # gray pooling exists to cut FHD upload bytes; below ~1024 px
@@ -210,10 +225,22 @@ class DeviceEngine:
 
                 p = host_detect_pack(chunk, self.cfg.threshold,
                                      self.cfg.max_keypoints,
-                                     self.cfg.ingest_downscale)
-                payload = (_put(p["gray_small"]), _put(p["xy"]),
-                           _put(p["valid"]), _put(p["colors"]),
-                           p["counts"])
+                                     self.cfg.ingest_downscale,
+                                     host_desc=self.cfg.host_desc)
+                if self.cfg.host_desc == "orb":
+                    # packed bit words only — no image plane travels at all
+                    words = p["desc_bits"].view(np.uint32).reshape(
+                        p["desc_bits"].shape[0], -1, 8)
+                    payload = (_put(words), _put(p["xy"]), _put(p["valid"]),
+                               _put(p["colors"]), p["counts"])
+                elif self.cfg.host_desc == "hybrid":
+                    payload = (_put(p["gray_small"]), _put(p["desc_bits"]),
+                               _put(p["xy"]), _put(p["valid"]),
+                               _put(p["colors"]), p["counts"])
+                else:
+                    payload = (_put(p["gray_small"]), _put(p["xy"]),
+                               _put(p["valid"]), _put(p["colors"]),
+                               p["counts"])
                 return slots, n, payload
             from ..models.frontend import pack_frames
 
@@ -232,10 +259,21 @@ class DeviceEngine:
             return False
         slots, n, payload = self._staged.pop(0).result()
         if self.cfg.ingest_mode == "host":
-            gray_small, xy, valid, colors, counts = payload
-            self.state = steps.ingest_host(
-                self.cfg, self.state, gray_small, xy, valid, colors,
-                jnp.asarray(slots))
+            if self.cfg.host_desc == "orb":
+                words, xy, valid, colors, counts = payload
+                self.state = steps.ingest_host_desc(
+                    self.cfg, self.state, words, xy, valid, colors,
+                    jnp.asarray(slots))
+            elif self.cfg.host_desc == "hybrid":
+                gray_small, bits, xy, valid, colors, counts = payload
+                self.state = steps.ingest_host_hybrid(
+                    self.cfg, self.state, gray_small, bits, xy, valid,
+                    colors, jnp.asarray(slots))
+            else:
+                gray_small, xy, valid, colors, counts = payload
+                self.state = steps.ingest_host(
+                    self.cfg, self.state, gray_small, xy, valid, colors,
+                    jnp.asarray(slots))
         else:
             gray, small = payload
             self.state, counts = steps.ingest(

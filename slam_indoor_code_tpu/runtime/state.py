@@ -42,6 +42,12 @@ class EngineConfig:
     # measured link bandwidth at engine construction (engine.resolve_ingest)
     ingest_mode: str = "device"
     ingest_downscale: int = 2    # host-mode pooled-gray factor
+    # host-mode descriptor source: "same" (device describes from the pooled
+    # gray), "orb" (full-res cv2 ORB on host, Hamming matching, ~90 KB/frame
+    # upload), "hybrid" (pooled-SIFT ⊕ α·orb-bits as one L2 descriptor).
+    # Resolved from TpuConfig.host_descriptor="auto" by the engine.
+    host_desc: str = "same"
+    hybrid_alpha: float = 0.08   # weight of the bit block in hybrid L2
     # multi-chip: () = single device; (n,) shards the ingest/match fan-out
     # and the BA observation axis over an n-device "batch" mesh (steps.py
     # mesh hooks); the engine builds the Mesh and registers it
@@ -82,11 +88,17 @@ class EngineConfig:
 
     @property
     def desc_dim(self) -> int:
-        return 8 if self.descriptor == "orb" else 128
+        if self.host_desc == "orb" or self.descriptor == "orb":
+            return 8                      # 256 bits as uint32 words
+        if self.host_desc == "hybrid":
+            return 128 + 256              # pooled-SIFT ⊕ α·orb bits
+        return 128
 
     @property
     def desc_dtype(self):
-        return jnp.uint32 if self.descriptor == "orb" else jnp.float32
+        if self.host_desc == "orb" or self.descriptor == "orb":
+            return jnp.uint32
+        return jnp.float32
 
     @staticmethod
     def from_config(cfg) -> "EngineConfig":
@@ -106,6 +118,8 @@ class EngineConfig:
             descriptor_downscale=cfg.tpu.descriptor_downscale,
             ingest_mode=cfg.tpu.ingest,
             ingest_downscale=cfg.tpu.ingest_downscale,
+            host_desc=cfg.tpu.host_descriptor,
+            hybrid_alpha=float(cfg.tpu.hybrid_alpha),
             mesh_shape=tuple(cfg.tpu.mesh_shape),
             rebind_cap=cfg.tpu.rebind_cap,
             rebind_radius=float(cfg.tpu.rebind_radius),

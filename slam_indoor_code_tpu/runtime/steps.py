@@ -143,6 +143,60 @@ def ingest_host(cfg: EngineConfig, state: TrackerState,
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def ingest_host_desc(cfg: EngineConfig, state: TrackerState,
+                     desc_words: jnp.ndarray, xy: jnp.ndarray,
+                     valid: jnp.ndarray, colors: jnp.ndarray,
+                     slots: jnp.ndarray):
+    """Host-descriptor ingest (host_desc="orb"): descriptors arrived packed
+    as uint32 bit words [C,K,8] — the device stores them directly and
+    matches by Hamming.  No image plane travels at all (~90 KB/frame)."""
+    desc_words, xy, valid = _maybe_shard(cfg, desc_words, xy, valid)
+    if cfg.use_undistortion:
+        from ..geometry.projection import undistort_points
+
+        K = _K_matrix(state.K4)
+        xy = jax.vmap(lambda u: undistort_points(K, state.dist, u))(xy)
+    return state._replace(
+        ring_xy=state.ring_xy.at[slots].set(xy),
+        ring_valid=state.ring_valid.at[slots].set(valid),
+        ring_desc=state.ring_desc.at[slots].set(desc_words),
+        ring_colors=state.ring_colors.at[slots].set(
+            colors.astype(jnp.float32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def ingest_host_hybrid(cfg: EngineConfig, state: TrackerState,
+                       gray_small: jnp.ndarray, desc_bits: jnp.ndarray,
+                       xy: jnp.ndarray, valid: jnp.ndarray,
+                       colors: jnp.ndarray, slots: jnp.ndarray):
+    """Hybrid host ingest: pooled-gray SIFT (device dense maps) concatenated
+    with α-scaled full-resolution ORB bits from the host — one 384-dim L2
+    descriptor (the squared L2 of a 0/1 block IS its Hamming distance, so
+    the fine-texture evidence rides the same matmul/kernel as SIFT)."""
+    fcfg = _frontend_cfg(cfg)
+    gray_small, desc_bits, xy, valid = _maybe_shard(
+        cfg, gray_small, desc_bits, xy, valid)
+    sift_part = fe.describe_packed_batch(fcfg, gray_small, xy, valid,
+                                         cfg.ingest_downscale)  # [C,K,128]
+    bits = jnp.unpackbits(desc_bits, axis=-1, bitorder="big")  # [C,K,256]
+    desc = jnp.concatenate(
+        [sift_part, cfg.hybrid_alpha * bits.astype(jnp.float32)], axis=-1)
+    if cfg.use_undistortion:
+        from ..geometry.projection import undistort_points
+
+        K = _K_matrix(state.K4)
+        xy = jax.vmap(lambda u: undistort_points(K, state.dist, u))(xy)
+    return state._replace(
+        ring_xy=state.ring_xy.at[slots].set(xy),
+        ring_valid=state.ring_valid.at[slots].set(valid),
+        ring_desc=state.ring_desc.at[slots].set(desc),
+        ring_colors=state.ring_colors.at[slots].set(
+            colors.astype(jnp.float32)),
+    )
+
+
 # ------------------------------------------------------------- set prev
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def set_prev_from_slot(cfg: EngineConfig, state: TrackerState,
@@ -494,10 +548,14 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         ids, mode="drop")
 
     aa = matrix_to_rodrigues(Rn)
-    win_xy = state2.win_xy.at[win_pos].set(new_xy)
-    win_corr = state2.win_corr.at[win_pos].set(new_corr)
-    win_cams = state2.win_cams.at[win_pos].set(jnp.concatenate([aa, tn]))
-    win_used = state2.win_used.at[win_pos].set(True)
+    # window bookkeeping gated through the scatter index (win_pos→F drops the
+    # write when the frame is rejected) — NOT through a whole-state select
+    widx = jnp.where(ok, win_pos, jnp.int32(cfg.window))
+    win_xy = state2.win_xy.at[widx].set(new_xy, mode="drop")
+    win_corr = state2.win_corr.at[widx].set(new_corr, mode="drop")
+    win_cams = state2.win_cams.at[widx].set(
+        jnp.concatenate([aa, tn]), mode="drop")
+    win_used = state2.win_used.at[widx].set(True, mode="drop")
 
     # anchor inheritance: a matched feature keeps its track's anchor
     # (pose+pixel of first observation); fresh features anchor at this frame
@@ -511,19 +569,25 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         anchor_xy_new = anchor_xy_new.at[scat].set(
             state.prev_anchor_xy, mode="drop")
 
-    def _sel(new, old):
-        return jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b), new, old)
+    # Fine-grained accept gating.  A rejected frame (ok=False) must leave the
+    # state untouched; the map arena/ring buffers are ALREADY untouched in
+    # that case (add_mask includes `ok`, so every arena scatter dropped), and
+    # a tree_map select over the whole TrackerState would rewrite ~400 MB of
+    # HBM per scan step just to re-assert that.  Only the small per-frame
+    # leaves need a real select.
+    def g(new, old):
+        return jnp.where(ok, new, old)
 
-    accepted = state2._replace(
-        prev_xy=new_xy, prev_valid=new_valid, prev_desc=new_desc,
-        prev_corr=new_corr,
-        prev_anchor_cam=anchor_cam_new, prev_anchor_xy=anchor_xy_new,
-        pose_R=Rn, pose_t=tn,
+    state_out = state2._replace(
+        prev_xy=g(new_xy, state.prev_xy),
+        prev_valid=g(new_valid, state.prev_valid),
+        prev_desc=g(new_desc, state.prev_desc),
+        prev_corr=g(new_corr, state.prev_corr),
+        prev_anchor_cam=g(anchor_cam_new, state.prev_anchor_cam),
+        prev_anchor_xy=g(anchor_xy_new, state.prev_anchor_xy),
+        pose_R=g(Rn, state.pose_R), pose_t=g(tn, state.pose_t),
         win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
     )
-    # note: _append_points already ran on state→state2; gate the whole state
-    state_out = _sel(accepted, state)
 
     out = _pose_out(ok, n_corr, pnp["num_inliers"], n_new, mask.sum(), Rn, tn)
     return state_out, out
@@ -642,9 +706,9 @@ def advance_step(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
     slot = order[good]
     train = res["train_idx"][good]
     mask = res["is_match"][good] & any_ok
-    state2, out = _track_core(cfg, state, slot, train, mask, win_pos, key)
-    state_out = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(any_ok, a, b), state2, state)
+    # any_ok=False ⇒ mask all-False ⇒ ok=False inside _track_core ⇒ the state
+    # comes back untouched — no outer whole-state select needed
+    state_out, out = _track_core(cfg, state, slot, train, mask, win_pos, key)
 
     head = jnp.stack([
         any_ok.astype(jnp.float32),
@@ -716,11 +780,13 @@ def advance_window(cfg: EngineConfig, state: TrackerState,
         slot = order[good]
         train = res["train_idx"][good]
         mask = res["is_match"][good] & found
-        state2, out = _track_core(cfg, state, slot, train, mask, win_pos, key)
+        # found=False ⇒ mask all-False ⇒ ok=False in _track_core ⇒ state
+        # untouched; _track_core's internal fine-grained gating covers the
+        # accept, so no whole-state tree_map select here (each one rewrote
+        # the full map arena + ring buffers per scan step)
+        state, out = _track_core(cfg, state, slot, train, mask, win_pos, key)
         ok = out[0] > 0.5
         accept = found & ok
-        state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), state2, state)
 
         q_head = jnp.where(found, (q_head + good + 1) % Q, q_head)
         q_len = jnp.where(found, q_len - good - 1, q_len)

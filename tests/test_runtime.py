@@ -394,3 +394,45 @@ def test_global_ba_bounds_long_run_drift(tmp_path_factory):
     assert n_on >= 48
     assert rel_on < 0.05, f"drift {rel_on:.3f} of extent (windowed-only {rel_off:.3f})"
     assert rel_on <= rel_off + 1e-6, (rel_on, rel_off)
+
+
+def test_engine_host_descriptor_modes_e2e(rt_scene, tmp_path_factory):
+    """Host-descriptor ingest (slow-link path): "orb" ships full-res cv2 ORB
+    bits (Hamming matching, no image plane upload) and "hybrid" concatenates
+    pooled-SIFT with α·bits into one L2 descriptor.  Both must track the
+    whole sequence with ATE comparable to the all-device path."""
+    import dataclasses
+
+    for hd in ("orb", "hybrid"):
+        cfg = _cfg(tmp_path_factory.mktemp(hd), True, useBundleAdjustment=True,
+                   BAUseHuberLossFunction=True, BAHuberLossFunctionParameter=2.0)
+        cfg = dataclasses.replace(
+            cfg, tpu=dataclasses.replace(cfg.tpu, ingest="host",
+                                         ingest_downscale=1,
+                                         host_descriptor=hd))
+        frames = [rt_scene.render(i) for i in range(14)]
+        gd = slam_main(cfg, rt_scene.K, frames=frames)
+        assert len(gd.rotations) >= 10, hd
+        est = camera_centers(gd.rotations, gd.positions)
+        gt = rt_scene.centers()[gd.frame_ids]
+        ate = absolute_trajectory_error(est, gt)
+        ext = np.linalg.norm(gt.max(0) - gt.min(0))
+        assert ate < 0.08 * ext, f"{hd}: ATE {ate/ext:.3f} of extent"
+
+
+def test_host_orb_bits_roundtrip(rt_scene):
+    """host_detect_pack(host_desc=...) returns packed ORB bits aligned with
+    the keypoint slots; dropped border keypoints stay zero."""
+    from slam_indoor_code_tpu.models.frontend import host_detect_pack
+
+    frames = [rt_scene.render(0)]
+    p = host_detect_pack(frames, 20.0, 256, 1, host_desc="orb")
+    assert "gray_small" not in p          # no image plane for pure-orb
+    assert p["desc_bits"].shape == (1, 256, 32)
+    n_valid = int(p["valid"][0].sum())
+    nz = (p["desc_bits"][0] != 0).any(axis=1)
+    # most valid keypoints get a descriptor; none outside the valid range
+    assert nz[:n_valid].mean() > 0.7
+    assert not nz[n_valid:].any()
+    ph = host_detect_pack(frames, 20.0, 256, 2, host_desc="hybrid")
+    assert "gray_small" in ph and ph["desc_bits"].shape == (1, 256, 32)
