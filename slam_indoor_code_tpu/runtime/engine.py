@@ -314,15 +314,16 @@ class DeviceEngine:
         target = self.batch_size + self.cfg.window
         while len(self.batch) < target:
             # keep the wire fed before any blocking download
-            while len(self._staged) < 2 and self._stage_chunk():
+            while len(self._staged) < 3 and self._stage_chunk():
                 pass
             if not self._pending and not self._dispatch_ingest():
                 break
             self._collect_ingest()
             filled = True
         # prefetch pipeline for the next cycle: one chunk's ingest in flight
-        # (runs while we track/BA) and one more chunk's bytes on the wire
-        while len(self._staged) < 2 and self._stage_chunk():
+        # (runs while we track/BA) and two more chunks' bytes on the wire
+        # (the initial fill is upload-bound through the tunnel)
+        while len(self._staged) < 3 and self._stage_chunk():
             pass
         if not self._pending:
             self._dispatch_ingest()
