@@ -105,7 +105,7 @@ def solve_pnp_ransac(
     mask: jnp.ndarray,
     reproj_threshold_px: float | jnp.ndarray = 8.0,
     num_hypotheses: int = 256,
-    refine_iters: int = 8,
+    refine_iters: int = 6,
     prior_R: jnp.ndarray | None = None,
     prior_t: jnp.ndarray | None = None,
 ):

@@ -127,9 +127,10 @@ class DeviceEngine:
 
         # packer threads: numpy/cv2 packing releases the GIL and device_put
         # is thread-safe, so payload prep+upload rides alongside tracking
-        # compute; two workers let consecutive chunks pack concurrently
+        # compute; three workers let a chunk PACK (CPU) while two earlier
+        # chunks' uploads sit in socket I/O on the tunnel
         # (chunk order is preserved — _staged futures pop FIFO)
-        self._packer = ThreadPoolExecutor(max_workers=2)
+        self._packer = ThreadPoolExecutor(max_workers=3)
         self._media_over = False
         self._win_fill = 0
         self.trajectory_R: list[np.ndarray] = []   # flushed (post-BA) poses

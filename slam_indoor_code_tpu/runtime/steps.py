@@ -489,7 +489,25 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         pix = Xc @ K.T
         safe = jnp.where(jnp.abs(pix[:, 2:3]) < 1e-9, 1e-9, pix[:, 2:3])
         pc = pix[:, :2] / safe                      # [M,2]
-        d = _knn.distance_matrix(new_desc, cand_desc, cfg.metric)  # [K,M]
+        if cfg.metric == "hamming":
+            d = _knn.distance_matrix(new_desc, cand_desc, cfg.metric)
+        else:
+            # candidate RANKING tolerates bf16: run the [K,M,D] product on
+            # the MXU at default precision instead of the package-wide
+            # 'highest' (6 passes) — this matmul runs inside EVERY scan step
+            a16 = new_desc.astype(jnp.bfloat16)
+            b16 = cand_desc.astype(jnp.bfloat16)
+            ab = jax.lax.dot_general(
+                a16, b16, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            a2 = jnp.sum(jnp.square(new_desc.astype(jnp.float32)), -1,
+                         keepdims=True)
+            b2 = jnp.sum(jnp.square(cand_desc.astype(jnp.float32)), -1)
+            d = jnp.maximum(a2 + b2[None, :] - 2.0 * ab, 0.0)
+            if cfg.metric == "l1":
+                # l1 configs rank by the exact metric (rare path)
+                d = _knn.distance_matrix(new_desc, cand_desc, cfg.metric)
         pixd2 = jnp.sum((new_xy[:, None, :] - pc[None, :, :]) ** 2, -1)
         allowed = (cand_real & (Xc[:, 2] > 0))[None, :] & (
             pixd2 < cfg.rebind_radius * cfg.rebind_radius)
