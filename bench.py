@@ -22,7 +22,16 @@ contract).  Extra modes cover the remaining BASELINE.json configs + metrics:
     python bench.py kernels   Pallas fused matcher vs stock-XLA jnp
     python bench.py suite     all of the above -> BENCH_SUITE.json
 
-Each mode prints one JSON line per result."""
+Each mode prints one JSON line per result.
+
+A note on ``warmup_s``: the persistent compilation cache (.jax_cache)
+eliminates client-side XLA compiles across processes (~30 s of tracing +
+cache loads remain).  The rest of the warm-up is the axon relay's
+per-process FIRST-EXECUTION load of each compiled executable — measured
+50-200 s per large program, 0 ms on every subsequent execution, and absent
+on a directly-attached TPU (PJRT loads executables in milliseconds).  The
+measured run starts only after the warm-up run has executed every program
+once, exactly like the reference's timings exclude its build."""
 
 import json
 import os
@@ -196,8 +205,10 @@ def bench_4k():
     def cfg_fn(out):
         import dataclasses
 
-        c = base_config(out, max_keypoints=10240, window_points=8192,
-                        descriptor_downscale=2)
+        # NB: descriptor_downscale stays 1 — the slow-link host ingest
+        # already pools the gray 2x, and stacked map scales (m=4) destroy
+        # descriptor discrimination (measured 11.5% ATE at FHD, 28% at 4K)
+        c = base_config(out, max_keypoints=10240, window_points=8192)
         return dataclasses.replace(c, requiredMatchedPointsCount=500,
                                    requiredExtractedPointsCount=1000)
 
@@ -303,20 +314,34 @@ def bench_kernels():
     b = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
     vb = jnp.ones((M,), bool)
 
-    def time_fn(fn, reps=30):
+    # Per-call host dispatch through the remote tunnel floors out around
+    # ~1 ms, which would swamp the kernel itself — so each measured unit is
+    # ONE jit containing a 32-iteration lax.scan over the matcher (inputs
+    # perturbed per step so nothing folds), timed end-to-end and divided.
+    INNER = 32
+
+    def time_fn(build, reps=5):
+        def scanned():
+            def body(carry, i):
+                aa = a + carry
+                d1, i1, d2 = build(aa)
+                s = d1.sum() * 1e-9
+                return s.astype(a.dtype), (d1[0], i1[0])
+            return jax.lax.scan(body, jnp.zeros((), a.dtype),
+                                jnp.arange(INNER))[1]
+        fn = jax.jit(scanned)
         out = fn()
         jax.block_until_ready(out)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
         t0 = time.perf_counter()
         outs = [fn() for _ in range(reps)]
         np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
-        return (time.perf_counter() - t0) / reps
+        return (time.perf_counter() - t0) / (reps * INNER)
 
     # compare the two implementations directly (match_pair picks one at
     # trace time from the backend, so benchmark the internals)
-    @jax.jit
-    def jnp_top2():
-        d = knn.distance_matrix(a, b, "l2")
+    def jnp_top2(aa):
+        d = knn.distance_matrix(aa, b, "l2")
         d = jnp.where(vb[None, :], d, knn.BIG)
         return knn._top2(d)
 
@@ -325,18 +350,22 @@ def bench_kernels():
     if knn._pallas_enabled("l2"):
         from slam_indoor_code_tpu.ops.pallas_kernels import top2_pallas
 
-        jit_pal = jax.jit(lambda: top2_pallas(a, b, vb, metric="l2"))
-        t_pal = time_fn(jit_pal)
-    # speed-of-light: the [N,M,D] matmul at the chip's peak f32 MXU rate.
-    # TPU v5e: 197 TFLOP/s bf16, ~98 TFLOP/s f32 (descriptors run f32 here)
+        t_pal = time_fn(lambda aa: top2_pallas(aa, b, vb, metric="l2"))
+    # speed-of-light model: the kernel must (a) produce all N·M distances on
+    # the MXU (the kernel runs bf16 tiles: 197 TFLOP/s on v5e) and (b) fold
+    # them through the running top-2 on the VPU — every distance entry is
+    # touched by ~4 vector ops (min, masked argmin compare, second-min,
+    # merge) at ~4·10¹² elementwise ops/s.  Both terms are irreducible for
+    # a fused matcher, so SoL = matmul + reduction floor.
     flops = 2.0 * N * M * D
-    peak = 98e12
-    sol_s = flops / peak
+    sol_mxu = flops / 197e12
+    sol_vpu = (N * M * 4.0) / 4e12
+    sol_s = sol_mxu + sol_vpu
     best = min(x for x in (t_jnp, t_pal) if x is not None)
     log(f"[kernels] match 2048x2048x128: jnp {t_jnp*1e3:.3f} ms"
         + (f", pallas {t_pal*1e3:.3f} ms" if t_pal else " (pallas n/a)")
-        + f"; matmul SoL {sol_s*1e6:.1f} us -> {100*sol_s/best:.1f}% of SoL "
-        "(top-2 reduction + ratio included)")
+        + f"; SoL {sol_s*1e6:.1f} us (mxu {sol_mxu*1e6:.1f} + vpu "
+        f"{sol_vpu*1e6:.1f}) -> {100*sol_s/best:.1f}% of SoL")
     return {
         "metric": "matcher_kernel_ms_2048x2048x128",
         "value": round(best * 1e3, 4),
@@ -345,6 +374,7 @@ def bench_kernels():
         "jnp_ms": round(t_jnp * 1e3, 4),
         "pallas_ms": round(t_pal * 1e3, 4) if t_pal else None,
         "pct_speed_of_light": round(100 * sol_s / best, 2),
+        "sol_model_us": round(sol_s * 1e6, 1),
     }
 
 

@@ -1,10 +1,12 @@
 """Host conductor for the device-resident runtime.
 
 Python owns only control flow and slot bookkeeping; every array lives on the
-device.  Per accepted frame: one ``match_select`` + one ``track_step``
-dispatch and a single ~100-byte status download.  Ring-slot management mirrors
-the reference's batch semantics (fill to framesBatchSize, consume head..good,
-carry the tail — batch.cpp:228-267, :93-98).
+device.  Steady state: ONE fused ``advance_window`` dispatch tracks a whole
+BA window (up to 8 frames) and returns one ~1 KB status download; ``ba_step``
+then solves and resets the window with its stats downloaded asynchronously.
+Ring-slot management mirrors the reference's batch semantics (fill to
+framesBatchSize, consume head..good, carry the tail — batch.cpp:228-267,
+:93-98).
 """
 
 from __future__ import annotations
