@@ -207,10 +207,14 @@ def bench_4k():
 
         # NB: descriptor_downscale stays 1 — the slow-link host ingest
         # already pools the gray 2x, and stacked map scales (m=4) destroy
-        # descriptor discrimination (measured 11.5% ATE at FHD, 28% at 4K)
+        # descriptor discrimination (measured 11.5% ATE at FHD, 28% at 4K).
+        # At 10k keypoints the candidate set is ~5x denser than FHD's 2048,
+        # so the Lowe ratio must tighten: 0.8 -> 23% ATE, 0.70 -> 3.6%
+        # (0.60 over-prunes, 7.6%)
         c = base_config(out, max_keypoints=10240, window_points=8192)
         return dataclasses.replace(c, requiredMatchedPointsCount=500,
-                                   requiredExtractedPointsCount=1000)
+                                   requiredExtractedPointsCount=1000,
+                                   knnMatcherDistance=0.70)
 
     return measured_e2e(scene, frames, "4k",
                         "end_to_end_frames_per_second_4k_10k_keypoints",
