@@ -260,3 +260,54 @@ def test_rpransacprob_drives_engine_fanout():
     assert hi.ransac_iters == 1024 and hi.pnp_iters == 256
     assert lo.ransac_iters < hi.ransac_iters
     assert lo.pnp_iters < hi.pnp_iters
+
+
+def test_triangulate_midpoint_anchored_matches_shared_pose(rng):
+    """Per-row-anchor midpoint triangulation (delayed triangulation
+    primitive): with every row anchored at the SAME first view it must
+    reproduce reconstruct(), and its cos-parallax must reflect the true ray
+    angle (→1 for a short baseline, smaller for a wide one)."""
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.geometry.triangulate import (
+        reconstruct, triangulate_midpoint_anchored)
+    from slam_indoor_code_tpu.testing import make_scene
+
+    sc = make_scene(n_points=200, n_frames=10, seed=5, baseline=0.3,
+                    kind="hallway")
+    K = jnp.asarray(sc.K, jnp.float32)
+    f1, f2 = 0, 6
+    uv1, v1 = sc.project(f1)
+    uv2, v2 = sc.project(f2)
+    m = v1 & v2
+    R1 = jnp.asarray(sc.rotations[f1], jnp.float32)
+    t1 = jnp.asarray(sc.translations[f1], jnp.float32)
+    R2 = jnp.asarray(sc.rotations[f2], jnp.float32)
+    t2 = jnp.asarray(sc.translations[f2], jnp.float32)
+    uv1 = jnp.asarray(uv1, jnp.float32)
+    uv2 = jnp.asarray(uv2, jnp.float32)
+    mask = jnp.asarray(m)
+
+    X_ref = np.asarray(reconstruct(K, R1, t1, R2, t2, uv1, uv2, mask))
+    N = uv1.shape[0]
+    R1s = jnp.broadcast_to(R1, (N, 3, 3))
+    t1s = jnp.broadcast_to(t1, (N, 3))
+    X_anc, cos_wide = triangulate_midpoint_anchored(
+        K, R1s, t1s, R2, t2, uv1, uv2, mask)
+    np.testing.assert_allclose(np.asarray(X_anc), X_ref, rtol=1e-4, atol=1e-4)
+    # triangulated points land on the ground truth
+    err = np.linalg.norm(np.asarray(X_anc)[m] - sc.points[m], axis=1)
+    assert np.median(err) < 0.05
+
+    # parallax ordering: 6-frame baseline opens a wider ray angle than a
+    # 1-frame baseline for the same landmarks
+    uv2n, v2n = sc.project(f1 + 1)
+    mn = v1 & v2n
+    _, cos_narrow = triangulate_midpoint_anchored(
+        K, R1s, t1s, jnp.asarray(sc.rotations[f1 + 1], jnp.float32),
+        jnp.asarray(sc.translations[f1 + 1], jnp.float32),
+        uv1, jnp.asarray(uv2n, jnp.float32), jnp.asarray(mn))
+    both = m & mn
+    assert (np.asarray(cos_narrow)[both] > np.asarray(cos_wide)[both]).mean() > 0.9
+    # narrow-baseline rays are nearly parallel
+    assert np.median(np.asarray(cos_narrow)[both]) > 0.999
