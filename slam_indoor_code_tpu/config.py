@@ -219,6 +219,13 @@ class TpuConfig:
     #                                 triangulation
     parallax_min_deg: float = 1.0   # minimum anchor-ray angle for landmark
     #                                 creation (degrees)
+    streaming: bool = True          # streaming runtime: device-resident
+    #                                 candidate queue + in-scan windowed BA;
+    #                                 the host trails the device by 1-2
+    #                                 dispatches so relay round-trips leave
+    #                                 the critical path (host-ingest configs
+    #                                 only; the classic conductor remains for
+    #                                 device ingest / per-frame telemetry)
     global_ba: bool = True          # final full-trajectory BA (matrix-free
     #                                 LM-PCG, solver/global_ba.py) — corrects
     #                                 accumulated monocular drift; active when

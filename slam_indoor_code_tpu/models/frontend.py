@@ -263,22 +263,20 @@ def _host_orb_bits(gray: np.ndarray, xy: np.ndarray, valid: np.ndarray,
 
     K = max_keypoints
     out = np.zeros((K, 32), np.uint8)
-    kps = [cv2.KeyPoint(float(x), float(y), 31)
-           for (x, y), v in zip(xy, valid) if v]
+    # compute() may drop border keypoints and is free to reorder; carry each
+    # input slot index in KeyPoint.class_id and scatter descriptors back by
+    # the returned keypoints' class_id (robust to drops, duplicates, and any
+    # reordering — a positional walk desynchronizes on all three)
+    kps = [cv2.KeyPoint(float(x), float(y), 31, -1, 0.0, 0, int(i))
+           for i, ((x, y), v) in enumerate(zip(xy, valid)) if v]
     if not kps:
         return out
     kk, desc = _cv2_orb().compute(gray, kps)
     if desc is None:
         return out
-    # compute() drops border keypoints but preserves order: walk both lists
-    ci = 0
-    for i, k in enumerate(kps):
-        if ci >= len(kk):
-            break
-        if (abs(kk[ci].pt[0] - k.pt[0]) < 0.01
-                and abs(kk[ci].pt[1] - k.pt[1]) < 0.01):
-            out[i] = desc[ci]
-            ci += 1
+    for k, d in zip(kk, desc):
+        if 0 <= k.class_id < K:
+            out[k.class_id] = d
     return out
 
 

@@ -153,10 +153,32 @@ def match_batch(
     desc_prev [N,D], desc_batch [B,M,D], frame_mask [B] (real frames in the
     padded batch).  Returns per-frame match tensors with a leading B axis plus
     ``num_matches`` [B] — the quantity the batch scheduler's good-frame rule
-    consumes (batch.cpp:120-148)."""
-    res = jax.vmap(
-        lambda db, vb: match_pair(desc_prev, valid_prev, db, vb, ratio, metric)
-    )(desc_batch, valid_batch)
+    consumes (batch.cpp:120-148).
+
+    On TPU all B pairs run in ONE batched Pallas launch (grid (B, N/TN,
+    M/TM)) — the per-call dispatch cost is paid once, not B times.  (L1
+    stays on the per-pair kernel: its VPU rank-1 accumulation overflows
+    scoped VMEM under the batched grid.)"""
+    if _pallas_enabled(metric) and metric != "l1":
+        from .pallas_kernels import top2_pallas_batch
+
+        d1, idx1, d2 = top2_pallas_batch(
+            desc_prev, desc_batch, valid_batch, metric=metric)
+        if metric == "l2":
+            ok_ratio = d1 < (ratio * ratio) * d2
+        else:
+            ok_ratio = d1 < ratio * d2
+        is_match = ok_ratio & valid_prev[None, :] & (d1 < BIG / 2)
+        res = {
+            "train_idx": idx1.astype(jnp.int32),
+            "is_match": is_match,
+            "distance": d1,
+        }
+    else:
+        res = jax.vmap(
+            lambda db, vb: match_pair(desc_prev, valid_prev, db, vb, ratio,
+                                      metric)
+        )(desc_batch, valid_batch)
     res["is_match"] = res["is_match"] & frame_mask[:, None]
     res["num_matches"] = res["is_match"].sum(axis=-1)
     return res

@@ -200,3 +200,103 @@ def _unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
     return bits.reshape(packed.shape[0], -1).astype(jnp.bfloat16)
+
+
+# --------------------------------------------------------------- batched 2-NN
+#
+# The scheduler matches ONE query frame against B candidate frames per scan
+# step (batch.cpp:120-148).  Launching B separate kernels pays the
+# per-`pallas_call` dispatch cost B times — at 2048² the fixed cost dominates
+# the MXU work ~20:1.  One launch with a leading batch grid axis amortizes
+# it: grid (B, N/TN, M/TM), j innermost so the running top-2 accumulates
+# across M tiles exactly like the pair kernel.
+
+def _l2_kernel_b(a_ref, b_ref, bmask_ref, d1_ref, i1_ref, d2_ref):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        d1_ref[:] = jnp.full_like(d1_ref, BIG)
+        d2_ref[:] = jnp.full_like(d2_ref, BIG)
+        i1_ref[:] = jnp.zeros_like(i1_ref)
+
+    a = a_ref[:]                      # [TN,D] bf16
+    b = b_ref[0]                      # [TM,D] bf16
+    ab = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    a2 = jnp.sum(a.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    tile = jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+    tile = jnp.where(bmask_ref[0, 0:1, :], tile, BIG)
+
+    d1, i1, d2 = _merge_top2(
+        d1_ref[0, :, 0:1], i1_ref[0, :, 0:1], d2_ref[0, :, 0:1],
+        tile, j * tile.shape[1])
+    lanes = d1_ref.shape[2]
+    d1_ref[:] = jnp.broadcast_to(d1, (1, d1.shape[0], lanes))
+    i1_ref[:] = jnp.broadcast_to(i1, (1, i1.shape[0], lanes))
+    d2_ref[:] = jnp.broadcast_to(d2, (1, d2.shape[0], lanes))
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def top2_pallas_batch(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                      valid_b: jnp.ndarray, metric: str = "l2",
+                      interpret: bool = False):
+    """Fused 2-NN of ONE query set against B candidate sets in ONE kernel
+    launch: desc_a [N,D], desc_b [B,M,D], valid_b [B,M] →
+    (d1 [B,N], idx1 [B,N], d2 [B,N]).  Same semantics per batch lane as
+    ``top2_pallas`` (squared L2; +inf-masked padding columns).  Metrics:
+    l2 + hamming (MXU path).  L1 is NOT offered here — its unrolled VPU
+    rank-1 accumulation overflows scoped VMEM under the batched grid;
+    callers keep L1 on the per-pair kernel."""
+    if metric == "l2":
+        a = desc_a.astype(jnp.bfloat16)
+        b = desc_b.astype(jnp.bfloat16)
+    elif metric == "hamming":
+        a = _unpack_bits(desc_a)
+        Bb, M, W = desc_b.shape
+        b = _unpack_bits(desc_b.reshape(Bb * M, W)).reshape(Bb, M, W * 32)
+    else:
+        raise ValueError(f"pallas top2 batch: unsupported metric {metric!r}")
+    kernel = _l2_kernel_b
+    tn, tm = TN, TM
+
+    a, n = _pad_rows(a, tn)
+    m = b.shape[1]
+    pad_m = (-m) % tm
+    if pad_m:
+        b = jnp.pad(b, ((0, 0), (0, pad_m), (0, 0)))
+    vmask = jnp.pad(valid_b, ((0, 0), (0, pad_m)), constant_values=False)
+    N, D = a.shape
+    B, M = vmask.shape
+    vmask3d = jnp.broadcast_to(vmask[:, None, :], (B, 8, M))
+
+    grid = (B, N // tn, M // tm)
+    d1, i1, d2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, D), lambda bb, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, D), lambda bb, i, j: (bb, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tm), lambda bb, i, j: (bb, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, LANE), lambda bb, i, j: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, LANE), lambda bb, i, j: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, LANE), lambda bb, i, j: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((B, N, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a, b, vmask3d)
+    return (d1[:, :n, 0], i1[:, :n, 0], d2[:, :n, 0])

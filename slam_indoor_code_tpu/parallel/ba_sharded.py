@@ -34,7 +34,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry.rotations import matrix_to_rodrigues, rodrigues_to_matrix
-from ..solver.ba import BAConfig, _res_and_jac, _project_residual, loss_rho_and_weight
+from ..solver.ba import (BAConfig, _inv3, _res_and_jac, _project_residual,
+                         loss_rho_and_weight)
 
 
 def _make_sharded_solver(mesh: Mesh, cfg: BAConfig, F: int, axis: str = "batch"):
@@ -93,7 +94,7 @@ def _make_sharded_solver(mesh: Mesh, cfg: BAConfig, F: int, axis: str = "batch")
             Vd = V + jax.vmap(jnp.diag)(lamV)
             no_obs = ~pmask | (jnp.abs(Vd).sum((1, 2)) < 1e-12)
             Vd = jnp.where(no_obs[:, None, None], jnp.eye(3, dtype=V.dtype), Vd)
-            Vinv = jnp.linalg.inv(Vd)
+            Vinv = _inv3(Vd)  # closed-form 3x3 inverse (~5x faster than linalg.inv)
             Vinv = jnp.where(no_obs[:, None, None], 0.0, Vinv)
 
             GV = jnp.einsum("pdi,pij->pdj", GP, Vinv)

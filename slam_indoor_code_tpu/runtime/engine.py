@@ -85,6 +85,12 @@ class DeviceEngine:
             cfg = dataclasses.replace(cfg, host_desc=hd)
         if cfg.ingest_mode != "host" and cfg.host_desc != "same":
             cfg = dataclasses.replace(cfg, host_desc="same")
+        if cfg.descriptor == "orb" and cfg.host_desc == "hybrid":
+            # hybrid writes [K,384] float32 descriptors but desc_dim resolves
+            # to 8 uint32 words when descriptor=="orb" — the ring scatter
+            # would fail with an obscure shape/dtype error.  ORB configs get
+            # pure host-ORB bits (same data the hybrid would carry).
+            cfg = dataclasses.replace(cfg, host_desc="orb")
         if cfg.host_desc == "orb":
             cfg = dataclasses.replace(cfg, metric="hamming")
         if cfg.ingest_mode == "host" and cfg.ingest_downscale > 1 \
@@ -161,6 +167,18 @@ class DeviceEngine:
         self.flushed_R: list = []
         self.flushed_t: list = []
         self.flushed_ids: list = []
+        # ---- streaming runtime cursors (run_streaming) -------------------
+        # device-held queue cursors, threaded between dispatches; the host
+        # never downloads them — q_len rides in each dispatch's status rows
+        self._q_dev = None            # [ring] i32 slot queue (device)
+        self._qhead_dev = None        # () i32
+        self._qlen_dev = None         # () i32
+        self._winfill_dev = None      # () i32
+        self._dead_dev = None         # () bool
+        self._inflight: list = []     # (download_future, n_steps) per dispatch
+        self._adm_total = 0           # frames appended to the device queue
+        self._cons_known = 0          # frames consumed per PROCESSED rows
+        self._stream_depth = 2        # max un-collected advance dispatches
 
     # ------------------------------------------------------------- plumbing
     def _next_key(self):
@@ -514,10 +532,302 @@ class DeviceEngine:
                 self.logs.main.write(
                     f"Checkpoint saved at {self.frames_accepted} frames\n")
 
+    # ------------------------------------------------------ streaming loop
+    #
+    # The classic loop below syncs one ~1 KB status download per window
+    # before it can dispatch the next one — ~28 ms relay round trip plus
+    # host bookkeeping on the critical path (measured ~55 ms/window).  The
+    # streaming loop keeps the candidate queue's cursors ON DEVICE
+    # (steps.queue_append / steps.advance_stream, which also solves the
+    # windowed BA in-scan), dispatches window after window back-to-back, and
+    # processes each dispatch's status rows 1-2 dispatches LATE from a
+    # background download — logging, trajectory, and stop decisions all
+    # tolerate the lag, and the device never waits for the host.
+
+    def _dispatch_stream_ingest(self, force: bool = False) -> bool:
+        """Pop the oldest staged chunk, dispatch its ingest + device-queue
+        append, and admit host-side (host-mode counts are host-resident).
+        Non-blocking unless ``force`` — an unfinished pack is left staged."""
+        if not self._staged:
+            return False
+        if not force and not self._staged[0].done():
+            return False
+        t0 = ChronoTimer()
+        slots, n, payload = self._staged.pop(0).result()
+        counts = payload[-1]
+        if self.cfg.host_desc == "orb":
+            words, xy, valid, colors, _ = payload
+            self.state = steps.ingest_host_desc(
+                self.cfg, self.state, words, xy, valid, colors,
+                jnp.asarray(slots))
+        elif self.cfg.host_desc == "hybrid":
+            gray_small, bits, xy, valid, colors, _ = payload
+            self.state = steps.ingest_host_hybrid(
+                self.cfg, self.state, gray_small, bits, xy, valid,
+                colors, jnp.asarray(slots))
+        else:
+            gray_small, xy, valid, colors, _ = payload
+            self.state = steps.ingest_host(
+                self.cfg, self.state, gray_small, xy, valid, colors,
+                jnp.asarray(slots))
+        counts = np.asarray(counts)
+        C = len(slots)
+        admit = np.zeros(C, bool)
+        admit[:n] = counts[:n] >= self.required_extracted
+        self._q_dev, self._qlen_dev = steps.queue_append(
+            self._q_dev, self._qhead_dev, self._qlen_dev,
+            jnp.asarray(slots), jnp.asarray(admit))
+        for i in range(C):
+            s = int(slots[i])
+            if admit[i]:
+                self.batch.append(s)
+                self._adm_total += 1
+            else:
+                self._free.append(s)
+        if self.logs:
+            self.logs.main.write(
+                "Features count in frames added to batch: "
+                + " ".join(str(int(c)) for c in counts[:n]
+                           if c >= self.required_extracted)
+                + f"\nBatch size: {len(self.batch)}\n")
+            t0.print_start_delta("MS for batch's filling: ", self.logs.time)
+        return True
+
+    def _fill_streaming(self) -> bool:
+        progressed = False
+        while len(self._staged) < 3 and self._stage_chunk():
+            progressed = True
+        if self._dispatch_stream_ingest():
+            progressed = True
+        return progressed
+
+    def _init_device_queue(self) -> None:
+        """Upload the host batch mirror as the initial device queue (called
+        once, after bootstrap; later appends ride queue_append)."""
+        Q = self.cfg.ring
+        q = np.zeros(Q, np.int32)
+        q[: len(self.batch)] = self.batch
+        self._q_dev = jnp.asarray(q)
+        self._qhead_dev = jnp.zeros((), jnp.int32)
+        self._qlen_dev = jnp.asarray(len(self.batch), jnp.int32)
+        self._winfill_dev = jnp.asarray(self._win_fill, jnp.int32)
+        self._dead_dev = jnp.zeros((), bool)
+        self._adm_total = len(self.batch)
+        self._cons_known = 0
+        self._inflight = []
+
+    def _dispatch_advance_stream(self) -> None:
+        T = self.cfg.window
+        self._key, *subs = jax.random.split(self._key, T + 1)
+        keys = jnp.stack(subs)
+        (self.state, self._qhead_dev, self._qlen_dev, self._winfill_dev,
+         self._dead_dev, packed, ba_vec, obs_xy, obs_corr) = \
+            steps.advance_stream(
+                self.cfg, self.state, self._q_dev, self._qhead_dev,
+                self._qlen_dev, self._winfill_dev, self._dead_dev, keys, T,
+                visible=self.batch_size,
+                collect_obs=self.collect_global_obs)
+        fut = self._packer.submit(
+            lambda p=packed, b=ba_vec, ox=obs_xy, oc=obs_corr:
+            (np.asarray(p), np.asarray(b), np.asarray(ox), np.asarray(oc)))
+        self._inflight.append(fut)
+
+    def _finalize_stream_window(self, ba_vec, obs, gd: GlobalData,
+                                timer: ChronoTimer):
+        """Process one in-scan window flush: BA stats logging + flushed
+        (post-BA) camera append for the F frames in self._win_ids."""
+        F = self.cfg.window
+        ids = list(self._win_ids[:F])
+        if self.collect_global_obs and obs is not None:
+            from concurrent.futures import Future
+
+            f = Future()
+            f.set_result(obs)
+            self._global_obs.append((f, F, ids))
+        if self.cfg.use_ba:
+            out = np.asarray(ba_vec, np.float64)
+            cams = out[4:4 + F * 6].reshape(F, 6)
+            Rmats = out[4 + F * 6:].reshape(F, 3, 3)
+            if self.logs:
+                self.logs.main.write(
+                    "Bundle Adjustment statistics (approximated RMSE):\n"
+                    f" #residuals: {int(out[2])}\n"
+                    f" Initial RMSE: {out[0]:.6f}\n"
+                    f" Final RMSE: {out[1]:.6f}\n")
+                timer.print_last_point_delta("Bundle adjustment: ",
+                                             self.logs.time)
+                timer.update_last_point()
+            for i in range(F):
+                fid = ids[i] if i < len(ids) else -1
+                gd.append_cameras(Rmats[i][None], cams[i, 3:][None], [fid])
+                self.flushed_R.append(Rmats[i])
+                self.flushed_t.append(cams[i, 3:])
+                self.flushed_ids.append(fid)
+        else:
+            for i, (R, t) in enumerate(zip(self.trajectory_R[-F:],
+                                           self.trajectory_t[-F:])):
+                fid = ids[i] if i < len(ids) else -1
+                gd.append_cameras(np.asarray(R)[None], np.asarray(t)[None],
+                                  [fid])
+                self.flushed_R.append(np.asarray(R, np.float64))
+                self.flushed_t.append(np.asarray(t, np.float64))
+                self.flushed_ids.append(fid)
+        self._win_ids = self._win_ids[F:]
+
+    def _collect_process(self, gd: GlobalData, timer: ChronoTimer):
+        """Collect the OLDEST in-flight dispatch and process its status rows
+        (trajectory, logs, window flushes, slot frees).  Returns a stop
+        status string, or None to continue."""
+        if not self._inflight:
+            return None
+        packed, ba_vec, obs_xy, obs_corr = self._inflight.pop(0).result()
+        T = packed.shape[0]
+        win_ms = 0.0
+        n_active = int((packed[:, 0] > 0.5).sum())
+        if self.logs and n_active:
+            # fused window: wall time is not separable per index — the
+            # per-frame telemetry mode (classic loop) gives true per-index
+            # measurements; here the lines keep reference format with the
+            # collect-interval share (engine docstring documents this)
+            win_ms = timer.last_point_delta_ms() / max(n_active, 1)
+            timer.update_last_point()
+        obs = None
+        if self.collect_global_obs and obs_xy.size:
+            obs = (obs_xy, obs_corr)
+        for t in range(T):
+            row = packed[t]
+            if row[0] < 0.5:          # inactive: queue drained / dead
+                break
+            if self.logs:
+                idx = int(row[2]) if row[1] > 0.5 else FRAME_NOT_FOUND
+                self.logs.time.write(
+                    f"Matching time for index {idx} : {win_ms:.0f}\n")
+            if row[1] < 0.5:          # FRAME_NOT_FOUND
+                if self.logs:
+                    self.logs.main.write(
+                        "No good frames in batch. Interrupt video processing\n")
+                return "interrupted"
+            good = int(row[2])
+            slot = self._consume_through(good)
+            fid = self._slot_frame.get(slot, -1)
+            self._release(slot)
+            self._cons_known += good + 1
+            ok, n_corr, n_inl, n_new, n_matches, R, tv = \
+                self._unpack(row[4:21])
+            if not ok:
+                if self.logs:
+                    self.logs.main.write(
+                        "Not enough corresponding points for solvePnP RANSAC\n")
+                return "interrupted"
+            if self.logs:
+                self.logs.main.write(
+                    f"Batch index: {good}; matched {int(row[3])}\n"
+                    f"Used in solvePnP: {n_corr}\n")
+            self._log_pose(R, tv)
+            self.trajectory_R.append(R)
+            self.trajectory_t.append(tv)
+            self._win_ids.append(fid)
+            self._prev_fid = fid
+            self._win_fill = int(row[21])
+            self.frames_accepted += 1
+            if row[23] > 0.5:         # in-scan window flush on this step
+                self._finalize_stream_window(ba_vec, obs, gd, timer)
+        return None
+
+    def run_streaming(self, init_R=None, init_t=None,
+                      resume: bool = False) -> dict:
+        """Streaming main loop (see class docstring of this section)."""
+        timer = ChronoTimer()
+        init_R = np.eye(3) if init_R is None else init_R
+        init_t = np.zeros(3) if init_t is None else init_t
+        gd = GlobalData()
+        resumed = resume and self.frames_accepted > 0
+        if not resumed:
+            self.trajectory_R, self.trajectory_t = [], []
+            if not self._bootstrap(init_R, init_t):
+                return {"status": "no_data", "global_data": gd,
+                        "frames_accepted": 0, "last_pose": None}
+        # settle any classic-path prefetches from bootstrap, then hand the
+        # queue to the device
+        while self._staged or self._pending:
+            if not self._pending:
+                self._dispatch_ingest()
+            self._collect_ingest()
+        self._init_device_queue()
+        T = self.cfg.window
+        need = self.batch_size + T     # full candidate window at every step
+        status = None
+        while status is None:
+            self._fill_streaming()
+            q_min = (self._adm_total - self._cons_known
+                     - T * len(self._inflight))
+            tail_ok = (self._media_over and not self._staged
+                       and not self._pending and q_min > 0)
+            if q_min >= need or tail_ok:
+                self._dispatch_advance_stream()
+                if len(self._inflight) > self._stream_depth:
+                    status = self._collect_process(gd, timer)
+                continue
+            if self._inflight:
+                status = self._collect_process(gd, timer)
+                if status is None and self._maybe_stream_checkpoint(gd, timer):
+                    continue
+                continue
+            if self._staged:
+                self._dispatch_stream_ingest(force=True)
+                continue
+            if self._media_over:
+                status = "video_over"
+                break
+            # media not over, nothing staged, nothing in flight: ring full
+            # with nothing consumable — cannot happen with the sized ring
+            status = "interrupted"
+        # drain remaining in-flight dispatches (their rows may carry
+        # accepted frames and flushes issued before the stop)
+        while self._inflight:
+            s2 = self._collect_process(gd, timer)
+            status = s2 if status in (None, "video_over") and s2 else status
+        # final partial-window flush through the classic path
+        self._flush_window(gd, timer)
+        self._collect_ba(gd, timer)
+        last_pose = None
+        if len(self.trajectory_R):
+            last_pose = (self.trajectory_R[-1], self.trajectory_t[-1])
+        return {"status": status or "video_over", "global_data": gd,
+                "frames_accepted": self.frames_accepted,
+                "last_pose": last_pose}
+
+    def _maybe_stream_checkpoint(self, gd: GlobalData,
+                                 timer: ChronoTimer) -> bool:
+        """Checkpoint in streaming mode: drain every in-flight dispatch so
+        host knowledge == device state, then snapshot (any drained point is
+        a valid resume point — the media cursor re-pulls everything not yet
+        consumed)."""
+        if not (self.checkpoint_path and self.checkpoint_every > 0
+                and self.frames_accepted - self._last_checkpoint_at
+                >= self.checkpoint_every):
+            return False
+        while self._inflight:
+            if self._collect_process(gd, timer) is not None:
+                return False          # a stop surfaced during the drain
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(self.checkpoint_path, self)
+        self._last_checkpoint_at = self.frames_accepted
+        if self.logs:
+            self.logs.main.write(
+                f"Checkpoint saved at {self.frames_accepted} frames\n")
+        return True
+
     def run(self, init_R=None, init_t=None, resume: bool = False) -> dict:
         """Main loop.  ``resume=True`` continues from a ``load_checkpoint``ed
         state: bootstrap is skipped (the restored prev-frame features and
-        pose anchor tracking directly) and the restored trajectory is kept."""
+        pose anchor tracking directly) and the restored trajectory is kept.
+
+        Dispatches to the streaming loop (device-held queue, in-scan BA,
+        host trailing 1-2 dispatches) when the config allows; the classic
+        per-window loop remains for device ingest, meshed runs, and the
+        per-frame telemetry mode."""
         timer = ChronoTimer()
         init_R = np.eye(3) if init_R is None else init_R
         init_t = np.zeros(3) if init_t is None else init_t

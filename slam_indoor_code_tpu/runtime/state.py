@@ -52,6 +52,9 @@ class EngineConfig:
     # and the BA observation axis over an n-device "batch" mesh (steps.py
     # mesh hooks); the engine builds the Mesh and registers it
     mesh_shape: tuple = ()
+    # streaming runtime (engine.run_streaming): device-held candidate queue +
+    # in-scan BA flush; host trails the device by 1-2 dispatches
+    streaming: bool = True
     # scheduler rule
     required_matched: int = 100
     skip_from_head: int = 0
@@ -106,8 +109,12 @@ class EngineConfig:
         return EngineConfig(
             max_keypoints=cfg.tpu.max_keypoints,
             # ring holds the live batch plus up to two staged (in-flight
-            # upload) chunks plus the admit scratch chunk
-            ring=cfg.framesBatchSize + cfg.BAMaxFramesCnt + 24,
+            # upload) chunks plus the admit scratch chunk; streaming adds the
+            # consumption-knowledge lag of up to 2 in-flight window
+            # dispatches (slots free only when their dispatch is collected)
+            ring=cfg.framesBatchSize + cfg.BAMaxFramesCnt + 24
+                 + (24 if cfg.tpu.streaming else 0),
+            streaming=cfg.tpu.streaming,
             map_cap=cfg.tpu.max_map_points,
             window=cfg.BAMaxFramesCnt,
             window_points=cfg.tpu.window_points,

@@ -622,11 +622,17 @@ def track_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
 
 
 # ----------------------------------------------------------------- BA step
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
+def ba_packed_len(cfg: EngineConfig) -> int:
+    """Length of the packed BA stats/poses vector (see _ba_core)."""
+    return 4 + cfg.window * 6 + cfg.window * 9
+
+
+def _ba_core(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
     """Windowed BA over the device-resident window + map arena, then window
     reset and pose resync (mainCycle.cpp:201-210 semantics: BA adjusts the
-    shared intrinsics, window poses, and observed landmarks in place)."""
+    shared intrinsics, window poses, and observed landmarks in place).
+    Traced body shared by the standalone ``ba_step`` dispatch and the fused
+    in-scan flush in ``advance_stream``."""
     F = cfg.window
     Pw = cfg.window_points
     BIG = jnp.int32(2**30)
@@ -688,6 +694,23 @@ def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
         jax.vmap(lambda aa: rodrigues_to_matrix(aa))(camsf[:, :3]).reshape(-1),
     ])
     return state, packed
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def ba_step(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
+    """Standalone windowed-BA dispatch (classic loop + final partial-window
+    flush; the streaming loop solves in-scan via ``advance_stream``)."""
+    return _ba_core(cfg, state, win_fill)
+
+
+def _win_reset(state: TrackerState) -> TrackerState:
+    """Window reset WITHOUT a solve (useBundleAdjustment=false flush —
+    moveProcessedDataToGlobalStruct keeps the PnP poses as-is)."""
+    return state._replace(
+        win_used=jnp.zeros_like(state.win_used),
+        win_corr=jnp.full_like(state.win_corr, -1),
+        win_map_base=state.map_count,
+    )
 
 
 # ------------------------------------------------------- fused frame advance
@@ -827,3 +850,159 @@ def advance_window(cfg: EngineConfig, state: TrackerState,
     (state, q_head, q_len, win_pos, _), packed = jax.lax.scan(
         body, carry0, keys, length=t_steps)
     return state, packed, q_head, q_len
+
+
+# ------------------------------------------------------- streaming device loop
+#
+# The classic loop pays one host sync (packed download, ~28 ms relay round
+# trip + host bookkeeping) per window before it can dispatch the next one —
+# measured ~55 ms/window of pure overhead at FHD (ROUND3.md §2).  The
+# streaming design removes the host from the critical path entirely:
+#
+#   * the candidate QUEUE lives on device (slot ids + head/len cursors,
+#     threaded through dispatches as device scalars the host never reads);
+#   * ingest dispatches append admitted slots via ``queue_append``;
+#   * ``advance_stream`` consumes the queue for T scan steps and — when an
+#     accept fills the BA window — solves the windowed BA IN-SCAN (lax.cond,
+#     executed only on the boundary step) and resets the window;
+#   * the per-dispatch status download rides a background thread; the host
+#     processes it 1-2 dispatches LATE, purely for logging/trajectory/stop
+#     decisions, while the device streams window after window back-to-back.
+#
+# Determinism: each scan step still sees exactly min(q_len, visible)
+# candidates from the head, so the candidate set remains a pure function of
+# the consumption point (the kill-and-resume contract of advance_window),
+# regardless of how far ingest over-admitted or how late the host collects.
+
+@partial(jax.jit, donate_argnums=(0,))
+def queue_append(queue: jnp.ndarray, q_head: jnp.ndarray, q_len: jnp.ndarray,
+                 slots: jnp.ndarray, admit: jnp.ndarray):
+    """Append admitted ring slots to the device candidate queue (circular).
+
+    Returns (queue', q_len').  Issued right after the chunk's ingest
+    dispatch; device program order makes it visible to every later
+    ``advance_stream``."""
+    Q = queue.shape[0]
+    off = jnp.cumsum(admit.astype(jnp.int32)) - 1
+    pos = (q_head + q_len + off) % Q
+    idx = jnp.where(admit, pos, Q)
+    queue = queue.at[idx].set(slots, mode="drop")
+    return queue, q_len + admit.sum(dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "t_steps", "visible", "collect_obs"),
+         donate_argnums=(1,))
+def advance_stream(cfg: EngineConfig, state: TrackerState,
+                   queue: jnp.ndarray, q_head: jnp.ndarray,
+                   q_len: jnp.ndarray, win_fill: jnp.ndarray,
+                   dead: jnp.ndarray, keys: jnp.ndarray, t_steps: int,
+                   visible: int = 0, collect_obs: bool = False):
+    """Streaming window advance: up to ``t_steps`` tracked frames AND the
+    windowed-BA flush in ONE dispatch, queue cursors device-resident.
+
+    Requires t_steps ≤ cfg.window so at most ONE window boundary can be
+    crossed per dispatch (after a flush resets win_pos to 0, the remaining
+    steps ≤ entry win_fill < window cannot refill it).
+
+    Returns (state', q_head', q_len', win_fill', dead', packed [t_steps,24],
+             ba_vec [ba_packed_len], obs_xy [F,K,2], obs_corr [F,K]).
+    packed[t] = [active, found, good_pos, count_good, out(17: ok, n_corr,
+    n_inl, n_new, n_matches, R9, t3), win_pos_after, q_len_after, ba_fired].
+    ``ba_vec`` is the flushed window's BA stats+poses (zeros when no flush
+    happened; at most one per dispatch).  ``obs_xy/obs_corr`` are the
+    flushed window's PRE-SOLVE observations for the final global BA — only
+    populated when ``collect_obs`` (a separate compiled variant)."""
+    assert t_steps <= cfg.window, "advance_stream: t_steps must be <= window"
+    Q = queue.shape[0]
+    F = cfg.window
+    Kk = cfg.max_keypoints
+    fcfg = _frontend_cfg(cfg)
+    iota_q = jnp.arange(Q, dtype=jnp.int32)
+    BA_LEN = ba_packed_len(cfg)
+
+    def flush(st):
+        """Window-full flush: solve (or plain reset when BA is off)."""
+        if cfg.use_ba:
+            st2, ba_vec = _ba_core(cfg, st, jnp.asarray(F, jnp.int32))
+        else:
+            st2 = _win_reset(st)
+            ba_vec = jnp.zeros((BA_LEN,), jnp.float32)
+        return st2, ba_vec
+
+    def no_flush(st):
+        return st, jnp.zeros((BA_LEN,), jnp.float32)
+
+    def body(carry, key):
+        state, q_head, q_len, win_pos, alive, ba_out, obs_xy, obs_corr = carry
+        active = alive & (q_len > 0) & (win_pos < F)
+
+        order_idx = (q_head + iota_q) % Q
+        order = queue[order_idx]
+        vis = jnp.minimum(q_len, visible) if visible > 0 else q_len
+        order_mask = (iota_q < vis) & active
+
+        desc_b, valid_b = _maybe_shard(cfg, state.ring_desc[order],
+                                       state.ring_valid[order])
+        res = fe.match_against_batch(
+            fcfg, state.prev_desc, state.prev_valid, desc_b, valid_b,
+            order_mask)
+        counts = res["num_matches"].astype(jnp.int32)
+        eligible = (iota_q >= cfg.skip_from_head) & order_mask & (
+            counts >= cfg.required_matched)
+        any_ok = eligible.any()
+        if cfg.use_first_fit:
+            good = jnp.max(jnp.where(eligible, iota_q, -1))
+        else:
+            best = jnp.max(jnp.where(eligible, counts, -1))
+            good = jnp.argmax(jnp.where(eligible, counts, -1) == best
+                              ).astype(jnp.int32)
+        good = jnp.where(any_ok, good, 0)
+        found = any_ok & active
+
+        slot = order[good]
+        train = res["train_idx"][good]
+        mask = res["is_match"][good] & found
+        state, out = _track_core(cfg, state, slot, train, mask, win_pos, key)
+        ok = out[0] > 0.5
+        accept = found & ok
+
+        q_head = jnp.where(found, (q_head + good + 1) % Q, q_head)
+        q_len = jnp.where(found, q_len - good - 1, q_len)
+        win_pos = jnp.where(accept, win_pos + 1, win_pos)
+        alive = alive & found & ok
+
+        # in-scan window flush (the classic loop's separate ba_step dispatch)
+        full = accept & (win_pos >= F)
+        if collect_obs:
+            # pre-solve observation snapshot of the flushed window
+            obs_xy = jnp.where(full, state.win_xy, obs_xy)
+            obs_corr = jnp.where(
+                full, jnp.where(state.win_used[:, None], state.win_corr, -1),
+                obs_corr)
+        state, ba_vec = jax.lax.cond(full, flush, no_flush, state)
+        ba_out = jnp.where(full, ba_vec, ba_out)
+        win_pos = jnp.where(full, 0, win_pos)
+
+        packed = jnp.concatenate([
+            jnp.stack([
+                active.astype(jnp.float32), found.astype(jnp.float32),
+                good.astype(jnp.float32),
+                jnp.where(found, counts[good], 0).astype(jnp.float32),
+            ]),
+            out,
+            jnp.stack([win_pos.astype(jnp.float32),
+                       q_len.astype(jnp.float32),
+                       full.astype(jnp.float32)]),
+        ])
+        return (state, q_head, q_len, win_pos, alive, ba_out,
+                obs_xy, obs_corr), packed
+
+    obs_xy0 = jnp.zeros((F, Kk, 2) if collect_obs else (0,), jnp.float32)
+    obs_corr0 = jnp.full((F, Kk) if collect_obs else (0,), -1, jnp.int32)
+    carry0 = (state, q_head.astype(jnp.int32), q_len.astype(jnp.int32),
+              win_fill.astype(jnp.int32), ~dead,
+              jnp.zeros((BA_LEN,), jnp.float32), obs_xy0, obs_corr0)
+    (state, q_head, q_len, win_pos, alive, ba_out, obs_xy, obs_corr), packed \
+        = jax.lax.scan(body, carry0, keys, length=t_steps)
+    return (state, q_head, q_len, win_pos, ~alive, packed, ba_out,
+            obs_xy, obs_corr)

@@ -275,6 +275,16 @@ def bundle_adjust_window(
     # one-hot frame embedding for the dense reduced Jacobian a_o [2, D]
     eyeF = jnp.eye(F, dtype=uv.dtype)
 
+    # Frame-0 gauge release (gauge_frame0=False) is only safe when frozen
+    # landmarks actually pin the gauge; the first window after a
+    # (re)bootstrap has every landmark free, leaving a 7-DOF null space held
+    # only by LM damping.  Gate the release on the presence of at least one
+    # frozen-landmark observation (traced — costs one reduction).
+    if cfg.gauge_frame0:
+        frame0_free = jnp.zeros((), bool)
+    else:
+        frame0_free = (m_obs & ~point_free[pid_safe]).any()
+
     def lm_step(state):
         K4, cams, points, lam, cost_prev, it, done = state
         r, J, w, _ = residuals_cost(K4, cams, points)
@@ -324,7 +334,7 @@ def bundle_adjust_window(
         gauge = jnp.concatenate(
             [
                 jnp.ones((4,), bool) if not cfg.fix_intrinsics else jnp.zeros((4,), bool),
-                jnp.zeros((6,), bool) if cfg.gauge_frame0 else jnp.ones((6,), bool),
+                jnp.broadcast_to(frame0_free, (6,)),
                 jnp.ones((6 * (F - 1),), bool),
             ]
         )

@@ -238,8 +238,17 @@ def show_flycam(geometries, speed: float = 1.0) -> None:
     for key, cb in cbs.items():
         if key == "_speed":
             continue
-        code = 32 if key == " " else ord(key)
-        vis.register_key_callback(code, cb)
+        if key == " ":
+            codes = (32,)
+        elif key == "+":
+            # Open3D key callbacks use GLFW key codes, which have no '+':
+            # the key arrives as Shift+'=' (code 61); also bind the keypad
+            # plus (GLFW_KEY_KP_ADD = 334)
+            codes = (61, 334)
+        else:
+            codes = (ord(key),)
+        for code in codes:
+            vis.register_key_callback(code, cb)
     vis.run()
     vis.destroy_window()
 

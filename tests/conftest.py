@@ -34,6 +34,9 @@ def scene():
     return make_scene(n_points=500, n_frames=10, seed=3)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test draws the SAME stream from seed 42, so a
+    # test's random inputs never depend on which tests ran before it (green
+    # means green under any pytest selection).
     return np.random.default_rng(42)

@@ -71,3 +71,39 @@ def test_column_mask_excludes_padding(rng):
     assert int(i1[0]) == 10
     assert float(d1[0]) < 1.0
     assert float(d2[0]) > 1e30  # only one valid column → ratio test will fail
+
+
+def test_batched_top2_matches_pair_kernel(rng):
+    """One batched launch (grid (B, N/TN, M/TM)) must equal B pair launches
+    lane for lane — the batch scheduler's per-scan-step matcher rides this
+    kernel (ops/knn.py match_batch)."""
+    from slam_indoor_code_tpu.ops.pallas_kernels import top2_pallas_batch
+
+    B, N, M, D = 3, 64, 200, 128
+    a = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, M, D)), jnp.float32)
+    vb = jnp.asarray(rng.random((B, M)) > 0.1)
+    d1b, i1b, d2b = top2_pallas_batch(a, b, vb, metric="l2", interpret=True)
+    assert d1b.shape == (B, N)
+    for bb in range(B):
+        d1, i1, d2 = top2_pallas(a, b[bb], vb[bb], metric="l2",
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1b[bb]), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d1b[bb]), np.asarray(d1))
+        np.testing.assert_allclose(np.asarray(d2b[bb]), np.asarray(d2))
+
+
+def test_batched_top2_hamming_matches_reference(rng):
+    from slam_indoor_code_tpu.ops.pallas_kernels import top2_pallas_batch
+
+    B, N, M, W = 2, 32, 100, 8
+    a = jnp.asarray(
+        rng.integers(0, 2**32, (N, W), dtype=np.uint64).astype(np.uint32))
+    b = jnp.asarray(
+        rng.integers(0, 2**32, (B, M, W), dtype=np.uint64).astype(np.uint32))
+    vb = jnp.ones((B, M), bool)
+    d1, i1, d2 = top2_pallas_batch(a, b, vb, metric="hamming", interpret=True)
+    for bb in range(B):
+        d_ref = np.asarray(knn.hamming_distance(a, b[bb]))
+        np.testing.assert_array_equal(np.asarray(i1[bb]), d_ref.argmin(1))
+        np.testing.assert_array_equal(np.asarray(d1[bb]), d_ref.min(1))
