@@ -54,5 +54,82 @@ def main():
     print(f"proc {pid}: global psum {total} OK", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and sys.argv[1:2] != ["ba"]:
     main()
+
+
+def build_ba_problem(seed=0, F=4, Kslots=64, Pn=96):
+    """Deterministic synthetic BA window both processes construct
+    identically (same seed): points ahead of a small camera arc, projected
+    with noise."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    K4 = np.array([400.0, 400.0, 320.0, 240.0], np.float32)
+    Km = np.array([[400, 0, 320], [0, 400, 240], [0, 0, 1]], np.float64)
+    pts = rng.uniform([-2, -1.5, 4], [2, 1.5, 8], (Pn, 3)).astype(np.float32)
+    cams = np.zeros((F, 6), np.float32)
+    uv = np.zeros((F, Kslots, 2), np.float32)
+    lidx = np.zeros((F, Kslots), np.int32)
+    omask = np.zeros((F, Kslots), bool)
+    for f in range(F):
+        cams[f, 3] = -0.3 * f          # translate along x
+        t = cams[f, 3:]
+        pix = (pts + t) @ Km.T
+        uvf = pix[:, :2] / pix[:, 2:]
+        ids = rng.permutation(Pn)[:Kslots]
+        uv[f] = uvf[ids] + rng.normal(0, 0.3, (Kslots, 2))
+        lidx[f] = ids
+        omask[f] = True
+    cams_n = cams + rng.normal(0, 0.01, cams.shape).astype(np.float32)
+    pts_n = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    pmask = np.ones(Pn, bool)
+    return K4, cams_n, pts_n, uv, lidx, omask, pmask
+
+
+def ba_main():
+    """Cross-process ShardedBA: the per-LM-iteration [D,D] psum crosses the
+    OS-process (DCN) boundary; each process also solves the same problem on
+    a LOCAL single-device mesh and asserts cost parity."""
+    coordinator, nproc, pid = sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from slam_indoor_code_tpu.parallel.mesh import (initialize_distributed,
+                                                    make_mesh)
+    from slam_indoor_code_tpu.parallel.ba_sharded import ShardedBA
+    from slam_indoor_code_tpu.solver.ba import BAConfig
+
+    initialize_distributed(coordinator=coordinator, num_processes=nproc,
+                           process_id=pid)
+    assert jax.process_count() == nproc
+
+    prob = build_ba_problem()
+    cfg = BAConfig(loss="huber", loss_param=2.0, max_iters=8,
+                   fix_intrinsics=True)
+
+    # global mesh: one device per process — the solver's psum rides the
+    # distributed (TCP) backend between the two OS processes
+    gmesh = make_mesh((nproc,), ("batch",))
+    assert len(set(d.process_index for d in gmesh.devices.flat)) == nproc
+    sba = ShardedBA(gmesh, cfg, window=4)
+    c0, c1, cams_g = sba.solve_multiprocess(*prob)
+    assert c1 < c0, (c0, c1)
+
+    # local reference: same problem, single-device mesh on THIS process
+    import numpy as np
+    from jax.sharding import Mesh
+
+    local = [d for d in jax.devices() if d.process_index == pid]
+    lmesh = Mesh(np.array(local[:1]), ("batch",))
+    ref = ShardedBA(lmesh, cfg, window=4).solve(*prob)
+    assert abs(c1 - ref.final_cost) / max(ref.final_cost, 1e-9) < 1e-3, (
+        c1, ref.final_cost)
+    np.testing.assert_allclose(cams_g, ref.cams, atol=5e-4)
+    print(f"proc {pid}: cross-process BA cost {c0:.3f}->{c1:.3f} "
+          f"(local ref {ref.final_cost:.3f}) OK", flush=True)
+
+
+if __name__ == "__main__" and sys.argv[1:2] == ["ba"]:
+    ba_main()
+    sys.exit(0)

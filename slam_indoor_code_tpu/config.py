@@ -226,6 +226,10 @@ class TpuConfig:
     #                                 the critical path (host-ingest configs
     #                                 only; the classic conductor remains for
     #                                 device ingest / per-frame telemetry)
+    per_frame_telemetry: bool = False  # classic loop with one-step
+    #                                 dispatches: every per-index matching
+    #                                 time in time.txt is a true wall-clock
+    #                                 measurement (slower; measurement mode)
     global_ba: bool = True          # final full-trajectory BA (matrix-free
     #                                 LM-PCG, solver/global_ba.py) — corrects
     #                                 accumulated monocular drift; active when

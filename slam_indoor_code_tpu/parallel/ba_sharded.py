@@ -153,6 +153,13 @@ def _make_sharded_solver(mesh: Mesh, cfg: BAConfig, F: int, axis: str = "batch")
     return sharded
 
 
+def _dev_axis_index(mesh: Mesh, axis: str, dev) -> int:
+    """Position of ``dev`` along ``axis`` in the mesh."""
+    ax = mesh.axis_names.index(axis)
+    pos = np.argwhere(mesh.devices == dev)
+    return int(pos[0][ax])
+
+
 @dataclass
 class ShardedBAResult:
     K4: np.ndarray
@@ -179,6 +186,14 @@ class ShardedBA:
         local_of) — device_args feed ``self._solver`` directly (exposed so
         harnesses can ``.lower(*device_args)`` and inspect the compiled
         collectives)."""
+        np_args, owner, local_of = self._pack_np(
+            K4, cams, points, uv, local_idx, obs_mask, point_mask)
+        return tuple(jnp.asarray(a) for a in np_args), owner, local_of
+
+    def _pack_np(self, K4, cams, points, uv, local_idx, obs_mask,
+                 point_mask):
+        """Numpy half of ``pack`` (multi-process callers build the global
+        arrays themselves via make_array_from_process_local_data)."""
         F, Kslots = uv.shape[0], uv.shape[1]
         Pn = len(points)
         nd = self.ndev
@@ -220,16 +235,52 @@ class ShardedBA:
         pid_sh[dev_sel, rank] = local_of[pid_g[sel]]
         omask_sh[dev_sel, rank] = True
 
-        device_args = (
-            jnp.asarray(K4, jnp.float32), jnp.asarray(cams, jnp.float32),
-            jnp.asarray(pts_sh.reshape(nd * P_cap, 3)),
-            jnp.asarray(pmask_sh.reshape(-1)),
-            jnp.asarray(uv_sh.reshape(nd * O_cap, 2)),
-            jnp.asarray(fobs_sh.reshape(-1)),
-            jnp.asarray(pid_sh.reshape(-1)),
-            jnp.asarray(omask_sh.reshape(-1)),
+        np_args = (
+            np.asarray(K4, np.float32), np.asarray(cams, np.float32),
+            pts_sh.reshape(nd * P_cap, 3),
+            pmask_sh.reshape(-1),
+            uv_sh.reshape(nd * O_cap, 2),
+            fobs_sh.reshape(-1),
+            pid_sh.reshape(-1),
+            omask_sh.reshape(-1),
         )
-        return device_args, owner, local_of
+        return np_args, owner, local_of
+
+    def solve_multiprocess(self, K4, cams, points, uv, local_idx, obs_mask,
+                           point_mask):
+        """Cross-process solve over a multi-process global mesh: every
+        process passes the SAME full problem (deterministic packing), the
+        sharded axes are assembled from per-process local shards, and the
+        per-LM-iteration [D,D] psum crosses the process (DCN) boundary.
+        Returns (initial_cost, final_cost, cams') — the replicated outputs
+        every process can download; the landmark shards stay process-local.
+
+        This is the §5.8 cross-process execution path; the single-process
+        ``solve`` remains the fast path (tests/test_parallel.py runs both
+        and asserts cost parity)."""
+        np_args, owner, local_of = self._pack_np(
+            K4, cams, points, uv, local_idx, obs_mask, point_mask)
+        mesh, axis = self.mesh, self.axis
+        repl = NamedSharding(mesh, P())
+        shrd = NamedSharding(mesh, P(axis))
+        specs = (repl, repl, shrd, shrd, shrd, shrd, shrd, shrd)
+        me = jax.process_index()
+        gargs = []
+        for a, sh in zip(np_args, specs):
+            if sh is shrd:
+                # leading axis = mesh axis (ndev * cap rows): this process
+                # contributes the row blocks its local devices own
+                per = a.shape[0] // self.ndev
+                blocks = [a[per * _dev_axis_index(mesh, axis, d):
+                            per * (_dev_axis_index(mesh, axis, d) + 1)]
+                          for d in mesh.devices.flat if d.process_index == me]
+                local = np.concatenate(blocks) if blocks else a[:0]
+                gargs.append(jax.make_array_from_process_local_data(sh, local))
+            else:
+                gargs.append(jax.make_array_from_process_local_data(sh, a))
+        K4f, camsf, ptsf, costs = self._solver(*gargs)
+        costs = np.asarray(costs)
+        return float(costs[0]), float(costs[1]), np.asarray(camsf, np.float64)
 
     def solve(
         self,

@@ -554,6 +554,7 @@ class DeviceEngine:
             return False
         t0 = ChronoTimer()
         slots, n, payload = self._staged.pop(0).result()
+        self._trace(f"ingest dispatch chunk n={n}")
         counts = payload[-1]
         if self.cfg.host_desc == "orb":
             words, xy, valid, colors, _ = payload
@@ -595,8 +596,25 @@ class DeviceEngine:
 
     def _fill_streaming(self) -> bool:
         progressed = False
-        while len(self._staged) < 3 and self._stage_chunk():
+        T = self.cfg.window
+        C = self.cfg.fill_chunk
+        # Admission budget, measured from PROCESSED consumption.  The
+        # dispatch throttle needs adm − cons − T·inflight ≥ batch_size+T, so
+        # with cons knowledge lagging by `depth` dispatches and up to 3
+        # chunks sitting staged (counted below — they admit next), staged +
+        # admitted must be allowed to run (batch_size+T) + T·depth + 3C
+        # ahead of processed consumption; capping tighter starves the
+        # dispatch pipeline into lock-step with the collector (measured
+        # 25→13 fps).  Beyond that, staging stops: unbounded racing of the
+        # media cursor wastes upload on an interrupt and makes periodic
+        # checkpoints lag the staged frontier by dozens of frames.
+        lookahead = (self._adm_total - self._cons_known
+                     + C * len(self._staged))
+        limit = (self.batch_size + T) + T * self._stream_depth + 3 * C
+        while (lookahead < limit and len(self._staged) < 3
+               and self._stage_chunk()):
             progressed = True
+            lookahead += C
         if self._dispatch_stream_ingest():
             progressed = True
         return progressed
@@ -616,10 +634,21 @@ class DeviceEngine:
         self._cons_known = 0
         self._inflight = []
 
+    _TRACE = bool(__import__("os").environ.get("SLAM_TPU_STREAM_TRACE"))
+
+    def _trace(self, msg: str) -> None:
+        if self._TRACE:
+            import sys
+            import time as _t
+
+            print(f"[stream {_t.perf_counter():.3f}] {msg}",
+                  file=sys.stderr, flush=True)
+
     def _dispatch_advance_stream(self) -> None:
         T = self.cfg.window
         self._key, *subs = jax.random.split(self._key, T + 1)
         keys = jnp.stack(subs)
+        self._trace(f"dispatch adv (inflight={len(self._inflight)})")
         (self.state, self._qhead_dev, self._qlen_dev, self._winfill_dev,
          self._dead_dev, packed, ba_vec, obs_xy, obs_corr) = \
             steps.advance_stream(
@@ -680,7 +709,11 @@ class DeviceEngine:
         status string, or None to continue."""
         if not self._inflight:
             return None
+        import time as _t
+
+        t0 = _t.perf_counter()
         packed, ba_vec, obs_xy, obs_corr = self._inflight.pop(0).result()
+        self._trace(f"collect waited {(_t.perf_counter()-t0)*1e3:.0f} ms")
         T = packed.shape[0]
         win_ms = 0.0
         n_active = int((packed[:, 0] > 0.5).sum())
@@ -708,6 +741,17 @@ class DeviceEngine:
                         "No good frames in batch. Interrupt video processing\n")
                 return "interrupted"
             good = int(row[2])
+            # per-skip cause lines (batch.cpp:93-98: head candidates with
+            # fewer matches than the chosen frame are legally consumed
+            # unused) — makes every "skipped camera" in the final count
+            # auditable from main.txt
+            if self.logs and good > 0:
+                for i in range(good):
+                    sfid = self._slot_frame.get(self.batch[i], -1)
+                    self.logs.main.write(
+                        f"Skipped candidate at batch index {i} (frame "
+                        f"{sfid}): matched {int(row[24 + i])} < best "
+                        f"{int(row[3])} at index {good}\n")
             slot = self._consume_through(good)
             fid = self._slot_frame.get(slot, -1)
             self._release(slot)
@@ -758,6 +802,18 @@ class DeviceEngine:
         need = self.batch_size + T     # full candidate window at every step
         status = None
         while status is None:
+            # opportunistic collection: process any dispatch whose download
+            # already landed (keeps host knowledge fresh; on a fast device
+            # acceptance trails ingest closely, on the relay the normal
+            # depth-triggered collect applies)
+            while (status is None and self._inflight
+                   and self._inflight[0].done()):
+                status = self._collect_process(gd, timer)
+            if status is not None:
+                break
+            status = self._maybe_stream_checkpoint(gd, timer)
+            if status is not None:
+                break
             self._fill_streaming()
             q_min = (self._adm_total - self._cons_known
                      - T * len(self._inflight))
@@ -770,8 +826,6 @@ class DeviceEngine:
                 continue
             if self._inflight:
                 status = self._collect_process(gd, timer)
-                if status is None and self._maybe_stream_checkpoint(gd, timer):
-                    continue
                 continue
             if self._staged:
                 self._dispatch_stream_ingest(force=True)
@@ -797,19 +851,20 @@ class DeviceEngine:
                 "frames_accepted": self.frames_accepted,
                 "last_pose": last_pose}
 
-    def _maybe_stream_checkpoint(self, gd: GlobalData,
-                                 timer: ChronoTimer) -> bool:
+    def _maybe_stream_checkpoint(self, gd: GlobalData, timer: ChronoTimer):
         """Checkpoint in streaming mode: drain every in-flight dispatch so
         host knowledge == device state, then snapshot (any drained point is
         a valid resume point — the media cursor re-pulls everything not yet
-        consumed)."""
+        consumed).  Returns a stop status surfaced during the drain, else
+        None."""
         if not (self.checkpoint_path and self.checkpoint_every > 0
                 and self.frames_accepted - self._last_checkpoint_at
                 >= self.checkpoint_every):
-            return False
+            return None
         while self._inflight:
-            if self._collect_process(gd, timer) is not None:
-                return False          # a stop surfaced during the drain
+            s = self._collect_process(gd, timer)
+            if s is not None:
+                return s
         from .checkpoint import save_checkpoint
 
         save_checkpoint(self.checkpoint_path, self)
@@ -817,7 +872,7 @@ class DeviceEngine:
         if self.logs:
             self.logs.main.write(
                 f"Checkpoint saved at {self.frames_accepted} frames\n")
-        return True
+        return None
 
     def run(self, init_R=None, init_t=None, resume: bool = False) -> dict:
         """Main loop.  ``resume=True`` continues from a ``load_checkpoint``ed
@@ -828,6 +883,10 @@ class DeviceEngine:
         host trailing 1-2 dispatches) when the config allows; the classic
         per-window loop remains for device ingest, meshed runs, and the
         per-frame telemetry mode."""
+        if (self.cfg.streaming and self.cfg.ingest_mode == "host"
+                and not self.cfg.mesh_shape
+                and not self.cfg.per_frame_telemetry):
+            return self.run_streaming(init_R, init_t, resume)
         timer = ChronoTimer()
         init_R = np.eye(3) if init_R is None else init_R
         init_t = np.zeros(3) if init_t is None else init_t
@@ -854,7 +913,10 @@ class DeviceEngine:
             # compiles; steps past the window fill are gated no-ops on
             # device (only reached in the first window after a bootstrap,
             # where win_fill=2 — two wasted gated iterations per restart).
-            T = self.cfg.window
+            # Per-frame telemetry mode instead dispatches ONE step at a
+            # time, so every "Matching time for index N" line below is a
+            # true wall-clock measurement of that step's dispatch.
+            T = 1 if self.cfg.per_frame_telemetry else self.cfg.window
             queue = np.zeros(B, np.int32)
             nq = min(len(self.batch), B)
             queue[:nq] = self.batch[:nq]
@@ -867,12 +929,14 @@ class DeviceEngine:
                 jnp.asarray(self._win_fill, jnp.int32), keys, T,
                 visible=self.batch_size)
             packed = np.asarray(packed)
-            # per-index "Matching time" lines (batch.cpp:155-157 format): the
-            # window runs as ONE fused dispatch, so the wall time is
-            # apportioned equally over the steps that actually scanned the
-            # batch — time.txt stays line-for-line comparable with the
-            # reference logs (one line per chosen index, FRAME_NOT_FOUND=-2
-            # on the failed scan)
+            # per-index "Matching time" lines (batch.cpp:155-157 format): in
+            # per-frame telemetry mode (T=1) each line is the measured wall
+            # time of that single step's dispatch; in the fused mode the
+            # window runs as ONE dispatch, so the wall time is apportioned
+            # equally over the steps that actually scanned the batch —
+            # time.txt stays line-for-line comparable with the reference
+            # logs (one line per chosen index, FRAME_NOT_FOUND=-2 on the
+            # failed scan)
             win_ms = t_adv.start_delta_ms()
             n_active = int((packed[:, 0] > 0.5).sum())
             share_ms = win_ms / max(n_active, 1)

@@ -55,6 +55,11 @@ class EngineConfig:
     # streaming runtime (engine.run_streaming): device-held candidate queue +
     # in-scan BA flush; host trails the device by 1-2 dispatches
     streaming: bool = True
+    # per-frame telemetry: classic loop with ONE-step dispatches so every
+    # "Matching time for index N" line in time.txt is a true wall-clock
+    # measurement of that step (batch.cpp:155-157 parity); costs the
+    # per-dispatch sync the fused loops exist to avoid — a measurement mode
+    per_frame_telemetry: bool = False
     # scheduler rule
     required_matched: int = 100
     skip_from_head: int = 0
@@ -115,6 +120,7 @@ class EngineConfig:
             ring=cfg.framesBatchSize + cfg.BAMaxFramesCnt + 24
                  + (24 if cfg.tpu.streaming else 0),
             streaming=cfg.tpu.streaming,
+            per_frame_telemetry=cfg.tpu.per_frame_telemetry,
             map_cap=cfg.tpu.max_map_points,
             window=cfg.BAMaxFramesCnt,
             window_points=cfg.tpu.window_points,

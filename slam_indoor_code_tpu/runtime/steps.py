@@ -627,17 +627,26 @@ def ba_packed_len(cfg: EngineConfig) -> int:
     return 4 + cfg.window * 6 + cfg.window * 9
 
 
-def _ba_core(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
-    """Windowed BA over the device-resident window + map arena, then window
-    reset and pose resync (mainCycle.cpp:201-210 semantics: BA adjusts the
-    shared intrinsics, window poses, and observed landmarks in place).
-    Traced body shared by the standalone ``ba_step`` dispatch and the fused
-    in-scan flush in ``advance_stream``."""
+def _ba_core_small(cfg: EngineConfig, K4, map_points, win_used, win_corr,
+                   win_xy, win_cams, win_map_base, map_count,
+                   win_fill: jnp.ndarray):
+    """Windowed BA over the device-resident window + map arena
+    (mainCycle.cpp:201-210 semantics: BA adjusts the shared intrinsics,
+    window poses, and observed landmarks in place).
+
+    Operates on EXPLICIT small pieces instead of the whole TrackerState so
+    the in-scan ``lax.cond`` in advance_stream only carries the arrays BA
+    actually writes (~3 MB) — a cond over the full state forced XLA to copy
+    the untouched ring/descriptor/map arenas (~700 MB of HBM traffic) every
+    scan step, measured 25→13 fps end to end.
+
+    Returns (K4', map_points', pose_R', pose_t', win_used', win_corr',
+    win_map_base', packed)."""
     F = cfg.window
     Pw = cfg.window_points
     BIG = jnp.int32(2**30)
 
-    corr = jnp.where(state.win_used[:, None], state.win_corr, -1)
+    corr = jnp.where(win_used[:, None], win_corr, -1)
     obs_mask = corr >= 0
     sentinel = jnp.where(obs_mask, corr, BIG)
     uids = jnp.unique(sentinel.reshape(-1), size=Pw, fill_value=BIG)
@@ -648,7 +657,7 @@ def _ba_core(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
     # cap drops the overflow ids — observations of a dropped landmark must be
     # masked out, NOT clamp-aliased onto whatever landmark sits at the edge.
     obs_mask = obs_mask & (uids[local] == sentinel)
-    pts = state.map_points[jnp.where(pmask, uids, 0)]
+    pts = map_points[jnp.where(pmask, uids, 0)]
 
     bacfg = BAConfig(loss=cfg.ba_loss, loss_param=cfg.ba_loss_param,
                      max_iters=cfg.ba_iters, obs_cap=cfg.ba_obs_cap,
@@ -660,29 +669,18 @@ def _ba_core(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
     # window cannot bend the settled map toward its own drift
     pfree = None
     if cfg.ba_freeze_old:
-        pfree = jnp.where(pmask, uids, 0) >= state.win_map_base
+        pfree = jnp.where(pmask, uids, 0) >= win_map_base
     K4f, camsf, ptsf, info = bundle_adjust_window(
-        bacfg, state.K4, state.win_cams, pts, state.win_xy, local,
+        bacfg, K4, win_cams, pts, win_xy, local,
         obs_mask, pmask, pfree,
     )
 
-    P = state.map_points.shape[0]
+    P = map_points.shape[0]
     scatter_idx = jnp.where(pmask, uids, P)
-    state = state._replace(
-        K4=K4f,
-        map_points=state.map_points.at[scatter_idx].set(ptsf, mode="drop"),
-    )
+    map_points = map_points.at[scatter_idx].set(ptsf, mode="drop")
     # resync prev pose to the adjusted last window frame
     last = jnp.maximum(win_fill - 1, 0)
     aa_t = camsf[last]
-    state = state._replace(
-        pose_R=rodrigues_to_matrix(aa_t[:3]),
-        pose_t=aa_t[3:],
-        win_used=jnp.zeros_like(state.win_used),
-        win_corr=jnp.full_like(state.win_corr, -1),
-        # this window's landmarks are now settled: the next window freezes them
-        win_map_base=state.map_count,
-    )
     # ONE packed download: [rmse0, rmse1, num_res, n_iters, cams (F*6),
     # Rmats (F*9)] — per-frame host-side rodrigues conversions each cost a
     # full ~28 ms relay round-trip, so rotation matrices are produced here
@@ -693,6 +691,23 @@ def _ba_core(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
         camsf.reshape(-1),
         jax.vmap(lambda aa: rodrigues_to_matrix(aa))(camsf[:, :3]).reshape(-1),
     ])
+    return (K4f, map_points, rodrigues_to_matrix(aa_t[:3]), aa_t[3:],
+            jnp.zeros_like(win_used), jnp.full_like(win_corr, -1),
+            # this window's landmarks are now settled: next window freezes them
+            map_count, packed)
+
+
+def _ba_core(cfg: EngineConfig, state: TrackerState, win_fill: jnp.ndarray):
+    """Whole-state wrapper of _ba_core_small (standalone ba_step dispatch +
+    classic loop)."""
+    (K4f, mp, Rn, tn, wu, wc, wmb, packed) = _ba_core_small(
+        cfg, state.K4, state.map_points, state.win_used, state.win_corr,
+        state.win_xy, state.win_cams, state.win_map_base, state.map_count,
+        win_fill)
+    state = state._replace(
+        K4=K4f, map_points=mp, pose_R=Rn, pose_t=tn,
+        win_used=wu, win_corr=wc, win_map_base=wmb,
+    )
     return state, packed
 
 
@@ -920,17 +935,29 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
     iota_q = jnp.arange(Q, dtype=jnp.int32)
     BA_LEN = ba_packed_len(cfg)
 
-    def flush(st):
+    # The flush cond carries ONLY the pieces BA writes (K4 + map points +
+    # pose + window bookkeeping, ~3 MB); a cond over the whole TrackerState
+    # made XLA copy the untouched ring/descriptor arenas (~700 MB of HBM
+    # traffic) through the no-flush branch at EVERY scan step — measured
+    # 25→13 fps end to end.  Read-only inputs (win_xy, win_cams, map_count)
+    # enter through the operand too so both branches see the same values.
+    def flush(op):
         """Window-full flush: solve (or plain reset when BA is off)."""
+        K4, mp, Rp, tp, wu, wc, wmb, wxy, wcams, mcount = op
         if cfg.use_ba:
-            st2, ba_vec = _ba_core(cfg, st, jnp.asarray(F, jnp.int32))
+            (K4, mp, Rp, tp, wu, wc, wmb, ba_vec) = _ba_core_small(
+                cfg, K4, mp, wu, wc, wxy, wcams, wmb, mcount,
+                jnp.asarray(F, jnp.int32))
         else:
-            st2 = _win_reset(st)
+            wu = jnp.zeros_like(wu)
+            wc = jnp.full_like(wc, -1)
+            wmb = mcount
             ba_vec = jnp.zeros((BA_LEN,), jnp.float32)
-        return st2, ba_vec
+        return (K4, mp, Rp, tp, wu, wc, wmb), ba_vec
 
-    def no_flush(st):
-        return st, jnp.zeros((BA_LEN,), jnp.float32)
+    def no_flush(op):
+        K4, mp, Rp, tp, wu, wc, wmb, _wxy, _wcams, _mc = op
+        return (K4, mp, Rp, tp, wu, wc, wmb), jnp.zeros((BA_LEN,), jnp.float32)
 
     def body(carry, key):
         state, q_head, q_len, win_pos, alive, ba_out, obs_xy, obs_corr = carry
@@ -979,7 +1006,13 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
             obs_corr = jnp.where(
                 full, jnp.where(state.win_used[:, None], state.win_corr, -1),
                 obs_corr)
-        state, ba_vec = jax.lax.cond(full, flush, no_flush, state)
+        op = (state.K4, state.map_points, state.pose_R, state.pose_t,
+              state.win_used, state.win_corr, state.win_map_base,
+              state.win_xy, state.win_cams, state.map_count)
+        (K4, mp, Rp, tp, wu, wc, wmb), ba_vec = jax.lax.cond(
+            full, flush, no_flush, op)
+        state = state._replace(K4=K4, map_points=mp, pose_R=Rp, pose_t=tp,
+                               win_used=wu, win_corr=wc, win_map_base=wmb)
         ba_out = jnp.where(full, ba_vec, ba_out)
         win_pos = jnp.where(full, 0, win_pos)
 
@@ -993,6 +1026,11 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
             jnp.stack([win_pos.astype(jnp.float32),
                        q_len.astype(jnp.float32),
                        full.astype(jnp.float32)]),
+            # per-candidate match counts of the scanned window: the host
+            # logs a cause line for every skipped candidate (its count vs
+            # the chosen frame's — batch.cpp:93-98 max-matches semantics)
+            counts[:visible].astype(jnp.float32) if visible > 0
+            else counts[:0].astype(jnp.float32),
         ])
         return (state, q_head, q_len, win_pos, alive, ba_out,
                 obs_xy, obs_corr), packed

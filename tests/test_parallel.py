@@ -229,3 +229,41 @@ def test_two_process_distributed_initialize():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert "global psum 24.0 OK" in out, out[-2000:]
+
+
+def test_two_process_sharded_ba_solve():
+    """A FULL ShardedBA solve across two OS processes (SURVEY.md §5.8): the
+    landmark blocks live one-per-process, and the per-LM-iteration [D,D]
+    reduced-camera psum crosses the process (DCN) boundary.  Each worker
+    also solves the identical problem on a local single-device mesh and
+    asserts cost + camera parity — proving the cross-process all-reduce
+    computes the same solve (scripts/_distributed_worker.py::ba_main)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "scripts", "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "ba", coord, "2", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert "cross-process BA cost" in out and "OK" in out, out[-2000:]
