@@ -175,14 +175,20 @@ def _global_refine(engine, gd: GlobalData, logs, cfg: Config):
                           max_iters=cfg.tpu.global_ba_iters,
                           cg_iters=cfg.tpu.global_ba_cg_iters)
     t0 = ChronoTimer()
+    # Solve over the LIVE landmarks only (bucketed static slice), not the
+    # full map arena: every per-point vector and segment_sum in the LM/CG
+    # loop scales with the point table (the arena is 262k slots vs ~5k live
+    # landmarks — a measured ~6 s solve is mostly arena-width scatters).
+    n_pts = int(np.asarray(engine.state.map_count))
+    Pcap = max(-(-n_pts // 4096) * 4096, 4096)
+    pts_dev = engine.state.map_points[:Pcap]
     camsf, ptsf, info = global_bundle_adjust(
-        gcfg, engine.state.K4, jnp.asarray(cams6), engine.state.map_points,
+        gcfg, engine.state.K4, jnp.asarray(cams6), pts_dev,
         jnp.asarray(uv), jnp.asarray(ci), jnp.asarray(pid),
         jnp.asarray(mask))
     camsf = np.asarray(camsf, np.float64)
-    # slice on device before downloading — the full arena is ~3 MB and the
-    # relay link is the bottleneck; only the live landmarks travel
-    n_pts = int(np.asarray(engine.state.map_count))
+    # slice on device before downloading — only the live landmarks travel
+    # over the relay link
     ptsf = np.asarray(ptsf[:n_pts], np.float64)
     rmse0 = float(np.asarray(info["initial_rmse"]))
     rmse1 = float(np.asarray(info["final_rmse"]))

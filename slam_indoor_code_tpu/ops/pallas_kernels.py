@@ -239,10 +239,12 @@ def _l2_kernel_b(a_ref, b_ref, bmask_ref, d1_ref, i1_ref, d2_ref):
     d2_ref[:] = jnp.broadcast_to(d2, (1, d2.shape[0], lanes))
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "interpret", "tn", "tm"))
 def top2_pallas_batch(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                       valid_b: jnp.ndarray, metric: str = "l2",
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      tn: int | None = None, tm: int | None = None):
     """Fused 2-NN of ONE query set against B candidate sets in ONE kernel
     launch: desc_a [N,D], desc_b [B,M,D], valid_b [B,M] →
     (d1 [B,N], idx1 [B,N], d2 [B,N]).  Same semantics per batch lane as
@@ -260,7 +262,8 @@ def top2_pallas_batch(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     else:
         raise ValueError(f"pallas top2 batch: unsupported metric {metric!r}")
     kernel = _l2_kernel_b
-    tn, tm = TN, TM
+    tn = tn or TN
+    tm = tm or TM
 
     a, n = _pad_rows(a, tn)
     m = b.shape[1]

@@ -109,6 +109,14 @@ class DeviceEngine:
             # tighter than subpixel localisation noise and nothing re-binds.
             px = cfg.rebind_radius * (2.0 * float(K[0, 2])) / 1920.0
             cfg = dataclasses.replace(cfg, rebind_radius=max(px, 1.5))
+        self._will_stream = (cfg.streaming and cfg.ingest_mode == "host"
+                             and not cfg.mesh_shape
+                             and not cfg.per_frame_telemetry)
+        if self._will_stream:
+            # streaming-lag headroom: slots free only when their dispatch's
+            # status download is collected (up to depth×T frames later), so
+            # the ring needs room beyond the classic batch+prefetch bound
+            cfg = dataclasses.replace(cfg, ring=cfg.ring + 24)
         self.cfg = cfg
         self.mesh = None
         if cfg.mesh_shape:
@@ -883,9 +891,7 @@ class DeviceEngine:
         host trailing 1-2 dispatches) when the config allows; the classic
         per-window loop remains for device ingest, meshed runs, and the
         per-frame telemetry mode."""
-        if (self.cfg.streaming and self.cfg.ingest_mode == "host"
-                and not self.cfg.mesh_shape
-                and not self.cfg.per_frame_telemetry):
+        if self._will_stream:
             return self.run_streaming(init_R, init_t, resume)
         timer = ChronoTimer()
         init_R = np.eye(3) if init_R is None else init_R

@@ -114,11 +114,10 @@ class EngineConfig:
         return EngineConfig(
             max_keypoints=cfg.tpu.max_keypoints,
             # ring holds the live batch plus up to two staged (in-flight
-            # upload) chunks plus the admit scratch chunk; streaming adds the
-            # consumption-knowledge lag of up to 2 in-flight window
-            # dispatches (slots free only when their dispatch is collected)
-            ring=cfg.framesBatchSize + cfg.BAMaxFramesCnt + 24
-                 + (24 if cfg.tpu.streaming else 0),
+            # upload) chunks plus the admit scratch chunk (the engine adds
+            # streaming-lag headroom on top when the streaming loop will
+            # actually run — DeviceEngine.__init__)
+            ring=cfg.framesBatchSize + cfg.BAMaxFramesCnt + 24,
             streaming=cfg.tpu.streaming,
             per_frame_telemetry=cfg.tpu.per_frame_telemetry,
             map_cap=cfg.tpu.max_map_points,

@@ -797,7 +797,12 @@ def advance_window(cfg: EngineConfig, state: TrackerState,
                  n_new, n_matches, R(9), t(3), win_pos]."""
     Q = queue.shape[0]
     fcfg = _frontend_cfg(cfg)
-    iota_q = jnp.arange(Q, dtype=jnp.int32)
+    # Each step only ever scans the first `visible` unconsumed entries, so
+    # the per-step gather + matcher run over Qv lanes, NOT the whole queue
+    # buffer — at ring≈3·batch_size the un-sliced version tripled the
+    # matcher work for lanes that were always masked out.
+    Qv = min(visible, Q) if visible > 0 else Q
+    iota_q = jnp.arange(Qv, dtype=jnp.int32)
 
     def body(carry, key):
         state, q_head, q_len, win_pos, alive = carry
@@ -812,7 +817,7 @@ def advance_window(cfg: EngineConfig, state: TrackerState,
         # ingest chunk phase (how far prefetch admitted past batch_size),
         # which a resumed run cannot reconstruct — kill-and-resume would
         # legally diverge from the uninterrupted run.
-        vis = jnp.minimum(q_len, visible) if visible > 0 else q_len
+        vis = jnp.minimum(q_len, Qv)
         order_mask = (iota_q < vis) & active
 
         desc_b, valid_b = _maybe_shard(cfg, state.ring_desc[order],
@@ -932,7 +937,11 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
     F = cfg.window
     Kk = cfg.max_keypoints
     fcfg = _frontend_cfg(cfg)
-    iota_q = jnp.arange(Q, dtype=jnp.int32)
+    # per-step candidate window sliced to `visible` lanes (the scheduler can
+    # never choose beyond it) — the queue buffer is ~3× larger and matching
+    # every lane masked-off tripled the per-step matcher cost
+    Qv = min(visible, Q) if visible > 0 else Q
+    iota_q = jnp.arange(Qv, dtype=jnp.int32)
     BA_LEN = ba_packed_len(cfg)
 
     # The flush cond carries ONLY the pieces BA writes (K4 + map points +
@@ -965,7 +974,7 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
 
         order_idx = (q_head + iota_q) % Q
         order = queue[order_idx]
-        vis = jnp.minimum(q_len, visible) if visible > 0 else q_len
+        vis = jnp.minimum(q_len, Qv)
         order_mask = (iota_q < vis) & active
 
         desc_b, valid_b = _maybe_shard(cfg, state.ring_desc[order],
@@ -1029,7 +1038,7 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
             # per-candidate match counts of the scanned window: the host
             # logs a cause line for every skipped candidate (its count vs
             # the chosen frame's — batch.cpp:93-98 max-matches semantics)
-            counts[:visible].astype(jnp.float32) if visible > 0
+            counts.astype(jnp.float32) if visible > 0
             else counts[:0].astype(jnp.float32),
         ])
         return (state, q_head, q_len, win_pos, alive, ba_out,

@@ -275,9 +275,10 @@ def test_checkpoint_kill_and_resume_identical_tail(rt_scene, tmp_path):
     from slam_indoor_code_tpu.io.media import ArraySource
 
     # long enough that the kill (a media exception) lands well after several
-    # checkpoints despite the ~2-chunk ingest prefetch running ahead of
-    # acceptance; the i%14 wrap makes the workload periodic, not truncated
-    frames = [rt_scene.render(i % 14) for i in range(48)]
+    # checkpoints despite the ingest prefetch running up to ~42 frames ahead
+    # of acceptance (batch target + 3 staged chunks + the partial chunk);
+    # the i%14 wrap makes the workload periodic, not truncated
+    frames = [rt_scene.render(i % 14) for i in range(64)]
     base = _cfg(tmp_path / "a", True, useBundleAdjustment=True,
                 BAMaxFramesCnt=4, BAUseHuberLossFunction=True,
                 BAHuberLossFunctionParameter=2.0)
@@ -300,7 +301,7 @@ def test_checkpoint_kill_and_resume_identical_tail(rt_scene, tmp_path):
                                 checkpoint_every=4))
     with pytest.raises(RuntimeError, match="simulated crash"):
         slam_main(cfg_b1, rt_scene.K,
-                  frames=KilledSource(list(frames), kill_after=40))
+                  frames=KilledSource(list(frames), kill_after=56))
 
     cfg_b2 = dataclasses.replace(
         base, outputDataDir=str(tmp_path / "b2"),
