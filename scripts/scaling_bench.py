@@ -192,16 +192,95 @@ def main():
     results["hlo_collectives"] = coll
     # the while-loop body executes once per LM iteration (+1 init cost psum)
     results["collective_bytes_per_lm_iter"] = per_iter
-    obs_per_dev = n_obs / 8
-    flops_per_iter_per_dev = obs_per_dev * 2 * (13 * 40 + 52 * 52 / 2)
-    results["per_device_flops_per_iter_est"] = int(flops_per_iter_per_dev)
-    # roofline projection on real TPU v5e ICI (~45 GB/s/link, ~1 us latency)
-    ici_s = per_iter / 45e9 + 2e-6
-    mxu_s = flops_per_iter_per_dev / 100e12 + 50e-6  # + dispatch overheads
-    results["projected_ici_efficiency"] = round(mxu_s / (mxu_s + ici_s), 4)
-    print(f"collectives/iter: {per_iter} B across {len(coll)} ops; "
-          f"projected ICI efficiency {results['projected_ici_efficiency']}",
+
+    # ---- comm invariance: the collective bytes must NOT grow with the
+    # observation load (the reduced camera system is [D,D] regardless) —
+    # re-audit the compiled module at 2x and 4x the per-device obs load
+    invariance = [{"n_obs": n_obs, "bytes_per_iter": per_iter}]
+    for scale in (2, 4):
+        pr = build_problem(n_points=4096 * 8 * scale, n_frames=F,
+                           obs_per_frame=2048 * scale)
+        K4s, camss, ptss, uvs, pidxs, masks, pmasks, n_obs_s = pr
+        da, _, _ = ba.pack(K4s, camss, ptss, uvs, pidxs, masks, pmasks)
+        hlo_s = ba._solver.lower(*da).compile().as_text()
+        b = 0
+        for m in re.finditer(
+                r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+                r"[^=\n]*=?\s*\(?([a-z0-9]+)\[([0-9,]*)\]", hlo_s):
+            n_el = 1
+            for d in m.group(3).split(","):
+                if d:
+                    n_el *= int(d)
+            b += n_el * dtype_bytes.get(m.group(2), 4)
+        invariance.append({"n_obs": n_obs_s, "bytes_per_iter": b})
+        assert b == per_iter, (b, per_iter)
+    results["comm_invariance"] = invariance
+
+    # ---- efficiency from MEASURED single-chip compute (not a FLOP model):
+    # bench.py `ba` mode measures the windowed Schur-LM solver on the real
+    # TPU; BENCH_SUITE.json carries ms/LM-iteration at the 16k-obs operating
+    # point.  t_psum comes from the interconnect model (the one quantity
+    # this single-chip environment cannot measure).
+    t_iter_ms = None
+    suite = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_SUITE.json")
+    if os.path.exists(suite):
+        with open(suite) as f:
+            for entry in json.load(f):
+                if entry.get("metric") == "ba_lm_iterations_per_second_w8" \
+                        and entry.get("value"):
+                    t_iter_ms = 1e3 / float(entry["value"])
+                    results["measured_tpu_ms_per_lm_iter"] = round(
+                        t_iter_ms, 4)
+                    results["measured_tpu_obs"] = entry.get("observations")
+    if t_iter_ms is not None:
+        t_ici_s = per_iter / 45e9 + 2e-6     # v5e ICI: ~45 GB/s, ~1-2 us
+        t_dcn_s = per_iter / 25e9 + 50e-6    # DCN: ~25 GB/s, ~50 us RTT
+        results["measured_ici_efficiency"] = round(
+            (t_iter_ms * 1e-3) / (t_iter_ms * 1e-3 + t_ici_s), 4)
+        results["measured_dcn_efficiency"] = round(
+            (t_iter_ms * 1e-3) / (t_iter_ms * 1e-3 + t_dcn_s), 4)
+        print(f"measured t_iter {t_iter_ms:.3f} ms; efficiency "
+              f"ICI {results['measured_ici_efficiency']} / "
+              f"DCN {results['measured_dcn_efficiency']}", flush=True)
+    print(f"collectives/iter: {per_iter} B across {len(coll)} ops "
+          f"(invariant across {[e['n_obs'] for e in invariance]} obs)",
           flush=True)
+    # ---- cross-process BA: the same psum crossing an OS-process (DCN-path)
+    # boundary (scripts/_distributed_worker.py ba mode, also pinned by
+    # tests/test_parallel.py::test_two_process_sharded_ba_solve)
+    import re as _re
+    import socket
+    import subprocess
+
+    with socket.socket() as sck:
+        sck.bind(("127.0.0.1", 0))
+        port = sck.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "scripts", "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "ba", f"127.0.0.1:{port}", "2", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = [p_.communicate(timeout=300)[0] for p_ in procs]
+    m = _re.search(r"cross-process BA cost ([0-9.]+)->([0-9.]+) "
+                   r"\(local ref ([0-9.]+)\) OK", outs[0])
+    if m and all(p_.returncode == 0 for p_ in procs):
+        results["two_process_ba"] = {
+            "initial_cost": float(m.group(1)),
+            "final_cost": float(m.group(2)),
+            "single_device_ref_cost": float(m.group(3)),
+            "psum_bytes_per_lm_iter": per_iter,
+            "note": "reduced-camera psum crossed an OS-process boundary; "
+                    "cost parity with a single-device solve",
+        }
+        print("two-process BA:", results["two_process_ba"], flush=True)
+    else:
+        results["two_process_ba"] = {"error": outs[0][-300:]}
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
     with open(out, "w") as f:

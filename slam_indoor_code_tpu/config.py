@@ -230,11 +230,25 @@ class TpuConfig:
     #                                 dispatches: every per-index matching
     #                                 time in time.txt is a true wall-clock
     #                                 measurement (slower; measurement mode)
-    global_ba: bool = True          # final full-trajectory BA (matrix-free
+    global_ba: bool = False         # final full-trajectory BA (matrix-free
     #                                 LM-PCG, solver/global_ba.py) — corrects
     #                                 accumulated monocular drift; active when
-    #                                 useBundleAdjustment is on
-    global_ba_iters: int = 30       # LM iterations of the final refine
+    #                                 useBundleAdjustment is on.  Default OFF
+    #                                 for reference parity: the reference
+    #                                 refines windowed-only
+    #                                 (bundleAdjustment.cpp:122-127, no
+    #                                 global pass exists there), and the
+    #                                 anchored tracker already holds ATE far
+    #                                 under the bound.  Opt in for the extra
+    #                                 ~30x ATE headroom (benchmarked as
+    #                                 BENCH_SUITE "headline_gba": 0.84x the
+    #                                 headline throughput)
+    global_ba_iters: int = 12       # LM iterations of the final refine
+    #                                 (measured on the 128-camera problem:
+    #                                 RMSE converges by iteration ~10 and
+    #                                 function_tolerance exits early anyway;
+    #                                 30 LM iters tripled the solve for
+    #                                 identical RMSE)
     global_ba_cg_iters: int = 32    # CG iterations per LM step
 
 

@@ -262,8 +262,12 @@ def top2_pallas_batch(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     else:
         raise ValueError(f"pallas top2 batch: unsupported metric {metric!r}")
     kernel = _l2_kernel_b
-    tn = tn or TN
-    tm = tm or TM
+    # measured on v5e at 2048x2048x128, B=16: (1024,2048) = 41.7 us/pair vs
+    # (1024,1024) = 63.7 — a wider M tile halves the per-row top-2 merges
+    # and the per-grid-step overhead dominates this kernel (see BENCH_SUITE
+    # kernel entry for the speed-of-light accounting)
+    tn = tn or 1024
+    tm = tm or 2048
 
     a, n = _pad_rows(a, tn)
     m = b.shape[1]
