@@ -332,7 +332,7 @@ class DeviceEngine:
                 + f"\nBatch size: {len(self.batch)}\n")
         return True
 
-    def fill(self) -> None:
+    def fill(self, target: int | None = None) -> None:
         t0 = ChronoTimer()
         filled = False
         # fill past framesBatchSize by one BA window of headroom: the scan
@@ -340,7 +340,10 @@ class DeviceEngine:
         # batch_size candidate window (advance_window's `visible`).  Without
         # the headroom the late scan steps' candidate sets depend on ingest
         # chunk phase — nondeterministic across kill-and-resume.
-        target = self.batch_size + self.cfg.window
+        # (The streaming bootstrap instead passes target=batch_size — see
+        # _bootstrap.)
+        if target is None:
+            target = self.batch_size + self.cfg.window
         while len(self.batch) < target:
             # keep the wire fed before any blocking download
             while len(self._staged) < 3 and self._stage_chunk():
@@ -414,8 +417,13 @@ class DeviceEngine:
     def _bootstrap(self, init_R, init_t) -> bool:
         if not self._find_first_good_frame(init_R, init_t):
             return False
+        # streaming: the first-pair search scans exactly one reference batch
+        # (defineFirstPairFrames fills framesBatchSize, batch.cpp:228-267);
+        # the steady loop tops the queue up to its own throttle while the
+        # bootstrap math runs instead of idling on the wire here
+        boot_target = self.batch_size if self._will_stream else None
         while True:
-            self.fill()
+            self.fill(target=boot_target)
             if not self.batch:
                 return False
             train_all, mask_all, found, pos = self._match_select()
