@@ -1,12 +1,31 @@
 """Host conductor for the device-resident runtime.
 
 Python owns only control flow and slot bookkeeping; every array lives on the
-device.  Steady state: ONE fused ``advance_window`` dispatch tracks a whole
-BA window (up to 8 frames) and returns one ~1 KB status download; ``ba_step``
-then solves and resets the window with its stats downloaded asynchronously.
+device.  Two steady-state loops:
+
+* **Streaming** (default for host-ingest configs, ``run_streaming``): the
+  candidate queue's cursors live ON DEVICE (steps.queue_append /
+  steps.advance_stream) and the windowed BA solves in-scan, so window
+  dispatches issue back-to-back with no host sync between them; the host
+  trails 1-2 dispatches behind, processing each dispatch's ~1.5 KB status
+  download from a background thread (logging, trajectory, stop decisions).
+  Relay round-trips leave the critical path entirely.
+
+* **Classic** (device ingest, meshed runs, per-frame telemetry): ONE fused
+  ``advance_window`` dispatch tracks a whole BA window (up to 8 frames) and
+  returns one ~1 KB status download the host syncs on; ``ba_step`` then
+  solves and resets the window with its stats downloaded asynchronously.
+
 Ring-slot management mirrors the reference's batch semantics (fill to
 framesBatchSize, consume head..good, carry the tail — batch.cpp:228-267,
 :93-98).
+
+time.txt telemetry: in per-frame telemetry mode (tpu.per_frame_telemetry)
+every "Matching time for index N" line is the measured wall time of that
+single-step dispatch; in the fused modes one window's wall time is
+apportioned equally over its scanned steps (format parity with
+batch.cpp:155-157 — the fused dispatch is the very thing that makes
+per-index host timing impossible without paying the sync back).
 """
 
 from __future__ import annotations
@@ -109,6 +128,15 @@ class DeviceEngine:
             # tighter than subpixel localisation noise and nothing re-binds.
             px = cfg.rebind_radius * (2.0 * float(K[0, 2])) / 1920.0
             cfg = dataclasses.replace(cfg, rebind_radius=max(px, 1.5))
+        # reproj_gate_px (PnP inlier threshold + landmark verify gates) is
+        # likewise FHD-equivalent: a fixed pixel gate is angularly 2x
+        # TIGHTER at 4K, starving the verified set and putting the tracker
+        # on a stability cliff (measured: 4K ATE flips 3.6% <-> 22% with the
+        # RANSAC key draw).  Constant angular tolerance = scale with width.
+        scale_w = (2.0 * float(K[0, 2])) / 1920.0
+        if scale_w > 1.0:
+            cfg = dataclasses.replace(
+                cfg, reproj_gate_px=cfg.reproj_gate_px * scale_w)
         self._will_stream = (cfg.streaming and cfg.ingest_mode == "host"
                              and not cfg.mesh_shape
                              and not cfg.per_frame_telemetry)
@@ -415,18 +443,26 @@ class DeviceEngine:
         return train_all, mask_all, int(info[0]), int(info[1])
 
     def _bootstrap(self, init_R, init_t) -> bool:
+        self._trace("bootstrap: find first")
         if not self._find_first_good_frame(init_R, init_t):
             return False
+        self._trace("bootstrap: first frame set")
         # streaming: the first-pair search scans exactly one reference batch
         # (defineFirstPairFrames fills framesBatchSize, batch.cpp:228-267);
         # the steady loop tops the queue up to its own throttle while the
         # bootstrap math runs instead of idling on the wire here
+        import os as _os
+
         boot_target = self.batch_size if self._will_stream else None
+        if _os.environ.get("SLAM_TPU_BOOT_TARGET_FULL"):
+            boot_target = None  # debug A/B: classic batch+window target
         while True:
             self.fill(target=boot_target)
+            self._trace(f"bootstrap: filled batch={len(self.batch)}")
             if not self.batch:
                 return False
             train_all, mask_all, found, pos = self._match_select()
+            self._trace(f"bootstrap: match_select found={found}")
             if not found:
                 # promote batch head to first frame (mainCycle.cpp:299-315)
                 slot = self._consume_through(0)
@@ -446,6 +482,7 @@ class DeviceEngine:
                 train, mask, self._next_key())
             self._release(slot)
             ok, chir, n_pass, n_new, n_matches, R2, t2 = self._unpack(np.asarray(out))
+            self._trace("bootstrap: bootstrap_step done")
             if self.logs:
                 self.logs.main.write(
                     f"Points passed chirality check count: {chir}\n")
@@ -802,11 +839,13 @@ class DeviceEngine:
         init_t = np.zeros(3) if init_t is None else init_t
         gd = GlobalData()
         resumed = resume and self.frames_accepted > 0
+        self._trace("run_streaming enter")
         if not resumed:
             self.trajectory_R, self.trajectory_t = [], []
             if not self._bootstrap(init_R, init_t):
                 return {"status": "no_data", "global_data": gd,
                         "frames_accepted": 0, "last_pose": None}
+        self._trace("bootstrap done")
         # settle any classic-path prefetches from bootstrap, then hand the
         # queue to the device
         while self._staged or self._pending:
@@ -814,6 +853,7 @@ class DeviceEngine:
                 self._dispatch_ingest()
             self._collect_ingest()
         self._init_device_queue()
+        self._trace("queue initialized")
         T = self.cfg.window
         need = self.batch_size + T     # full candidate window at every step
         status = None
@@ -852,6 +892,7 @@ class DeviceEngine:
             # media not over, nothing staged, nothing in flight: ring full
             # with nothing consumable — cannot happen with the sized ring
             status = "interrupted"
+        self._trace(f"stream loop done ({status})")
         # drain remaining in-flight dispatches (their rows may carry
         # accepted frames and flushes issued before the stop)
         while self._inflight:
