@@ -529,3 +529,25 @@ def test_streaming_kill_and_resume_identical_tail(rt_scene, tmp_path):
     assert matched >= 6
     assert max(int(f) for f in gd_b2.frame_ids) == max(
         int(f) for f in gd_a.frame_ids)
+
+
+def test_per_frame_telemetry_mode(rt_scene, tmp_path):
+    """tpu.per_frame_telemetry runs the classic loop with ONE-step
+    dispatches: every "Matching time for index N" line in time.txt is a
+    true per-dispatch measurement (VERDICT r3 #9; batch.cpp:155-157).  The
+    trajectory must match the fused default loop's (same scheduling rule,
+    just finer dispatch granularity)."""
+    import dataclasses
+
+    frames = [rt_scene.render(i) for i in range(14)]
+    cfg = _cfg(tmp_path, True, useBundleAdjustment=True, BAMaxFramesCnt=4,
+               BAUseHuberLossFunction=True, BAHuberLossFunctionParameter=2.0)
+    cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(
+        cfg.tpu, ingest="host", ingest_downscale=1,
+        per_frame_telemetry=True))
+    gd = slam_main(cfg, rt_scene.K, frames=list(frames))
+    assert len(gd.rotations) >= 10
+    lines = [ln for ln in (tmp_path / "time.txt").read_text().splitlines()
+             if ln.startswith("Matching time for index")]
+    # one line per tracked step (accepted frames beyond the bootstrap pair)
+    assert len(lines) >= len(gd.rotations) - 2
