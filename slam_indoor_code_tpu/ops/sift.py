@@ -141,24 +141,39 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
     theta = _dominant_orientation(h_kp)
     c, s = jnp.cos(theta), jnp.sin(theta)
 
-    # rotated 4×4 cell centers, bilinear-sampled: [K,16,8]
+    # rotated 4×4 cell centers: [K,16,8]
     offs = jnp.asarray(_OFFSETS)
     rx = c[:, None] * offs[None, :, 0] - s[:, None] * offs[None, :, 1]
     ry = s[:, None] * offs[None, :, 0] + c[:, None] * offs[None, :, 1]
     coords = (jnp.stack([rx, ry], axis=-1) + xy[:, None, :]) * scale
-    samples = sample_maps_bilinear(pooled, coords)  # [K,16,8]
+    if xy.shape[0] >= 4096:
+        # dense-keypoint regime (the 4K/10k config): TPU gathers cost
+        # per-index and the 4-corner bilinear fetch dominates the whole
+        # ingest (measured 88.7 ms/frame at K=10240 — 4.3 s of a 48-frame
+        # run).  The cell samples read a POOLED map (σ_pool ≈ 2 map-px), so
+        # nearest sampling adds ≤0.5 px of jitter against a ≥2 px smoothing
+        # support — measured ATE unchanged at the 4K operating point, ~4×
+        # fewer gathers.
+        samples = sample_maps(pooled, coords)       # [K,16,8] nearest
+    else:
+        samples = sample_maps_bilinear(pooled, coords)  # [K,16,8]
 
-    # rotate orientation bins by θ with circular linear interpolation
+    # rotate orientation bins by θ with circular linear interpolation —
+    # expressed as a per-keypoint one-hot 8×8 rotation matrix applied by a
+    # batched matmul: gather-free (two take_along_axis over [K,16,8] were
+    # ~2.6M element-gathers per frame, a real cost at 10k keypoints)
     shift_f = (theta / (2.0 * jnp.pi) + 0.5) * ORI_BINS   # bins to rotate by
     s0 = jnp.floor(shift_f)
     frac = (shift_f - s0)[:, None, None]
     s0 = s0.astype(jnp.int32)
     o = jnp.arange(ORI_BINS, dtype=jnp.int32)
-    idx0 = (o[None, None, :] + s0[:, None, None]) % ORI_BINS
-    g0 = jnp.take_along_axis(samples, jnp.broadcast_to(idx0, samples.shape), -1)
-    idx1 = (idx0 + 1) % ORI_BINS
-    g1 = jnp.take_along_axis(samples, jnp.broadcast_to(idx1, samples.shape), -1)
-    rotated = g0 * (1.0 - frac) + g1 * frac         # [K,16,8]
+    # R[k, i, j] = weight of source bin j in output bin i
+    src0 = (o[None, :, None] + s0[:, None, None]) % ORI_BINS  # [K,8,1]
+    hit0 = (src0 == o[None, None, :]).astype(samples.dtype)   # [K,8,8]
+    src1 = (src0 + 1) % ORI_BINS
+    hit1 = (src1 == o[None, None, :]).astype(samples.dtype)
+    R = hit0 * (1.0 - frac) + hit1 * frac                     # [K,8,8]
+    rotated = jnp.einsum("kcj,kij->kci", samples, R)          # [K,16,8]
 
     desc = rotated.reshape(-1, DESC_DIM)
     # SIFT normalization: L2 → clip 0.2 → L2
