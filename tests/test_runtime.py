@@ -551,3 +551,38 @@ def test_per_frame_telemetry_mode(rt_scene, tmp_path):
              if ln.startswith("Matching time for index")]
     # one line per tracked step (accepted frames beyond the bootstrap pair)
     assert len(lines) >= len(gd.rotations) - 2
+
+
+def test_video_source_end_to_end(rt_scene, tmp_path):
+    """usePhotosCycle=false + videoSourcePath (the reference's primary
+    mode, defineMediaSources → cv::VideoCapture): encode the synthetic
+    sequence to a video file, run the full pipeline off it, and match the
+    photo-cycle run's camera count and accuracy class."""
+    import cv2
+    import dataclasses
+
+    frames = [rt_scene.render(i) for i in range(14)]
+    h, w = frames[0].shape[:2]
+    path = str(tmp_path / "seq.avi")
+    # MJPG-in-AVI encodes headlessly everywhere; lossy, so accuracy is
+    # asserted at the class level, not bitwise vs the photo run
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (w, h))
+    assert vw.isOpened()
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+    cfg = _cfg(tmp_path / "out", True, useBundleAdjustment=True,
+               BAMaxFramesCnt=4, BAUseHuberLossFunction=True,
+               BAHuberLossFunctionParameter=2.0)
+    cfg = dataclasses.replace(cfg, usePhotosCycle=False,
+                              videoSourcePath=path,
+                              outputDataDir=str(tmp_path / "out"))
+    (tmp_path / "out").mkdir(exist_ok=True)
+    gd = slam_main(cfg, rt_scene.K)
+    assert len(gd.rotations) >= 10
+    est = camera_centers(gd.rotations, gd.positions)
+    gt = rt_scene.centers()[[int(f) for f in gd.frame_ids]]
+    ate = absolute_trajectory_error(est, gt)
+    ext = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert ate / ext < 0.08, f"video-path ATE {ate/ext:.3f}"
