@@ -120,8 +120,8 @@ def trajectory_quality(scene, gd):
 def measured_e2e(scene, frames, outtag, metric, cfg_fn, baseline_fps=3.0):
     """Warm-up (full coverage — see headline docstring) + measured runs.
 
-    The relay's run-to-run variance is real (measured 18-27 fps at equal
-    code), so the measurement is best-of-``BENCH_REPS`` (default 3) full
+    The relay's run-to-run variance is real (measured 18-38 fps at equal
+    code), so the measurement is best-of-``BENCH_REPS`` (default 4) full
     cold-map runs — each rep is a complete end-to-end pipeline execution,
     the same protocol as the reference's repeated timing logs (docs/cuda/
     holds several runs; BASELINE.md quotes their best block)."""
@@ -133,7 +133,7 @@ def measured_e2e(scene, frames, outtag, metric, cfg_fn, baseline_fps=3.0):
     warmup_s = time.perf_counter() - t0
     log(f"[{outtag}] warm-up took {warmup_s:.1f}s")
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     best = None
     for rep in range(reps):
         t0 = time.perf_counter()

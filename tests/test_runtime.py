@@ -586,3 +586,22 @@ def test_video_source_end_to_end(rt_scene, tmp_path):
     ate = absolute_trajectory_error(est, gt)
     ext = np.linalg.norm(gt.max(0) - gt.min(0))
     assert ate / ext < 0.08, f"video-path ATE {ate/ext:.3f}"
+
+
+def test_streaming_track_loss_restart(rt_scene, tmp_path):
+    """Track loss + restart THROUGH the streaming loop: black frames kill
+    the scan mid-sequence, the app's restart do-while re-bootstraps with
+    the carried pose, and the device queue re-initializes from the host
+    mirror (zombie in-flight dispatches from before the death must not
+    corrupt the restarted sub-map)."""
+    import dataclasses
+
+    frames = [rt_scene.render(i) for i in range(7)]
+    frames += [np.zeros_like(frames[0])] * 3
+    frames += [rt_scene.render(i) for i in range(7, 14)]
+    cfg = _cfg(tmp_path, True)
+    cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(
+        cfg.tpu, ingest="host", ingest_downscale=1, streaming=True))
+    gd = slam_main(cfg, rt_scene.K, frames=frames)
+    assert len(gd.rotations) >= 10
+    assert len(gd.points) > 150
