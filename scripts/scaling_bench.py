@@ -249,7 +249,6 @@ def main():
     # ---- cross-process BA: the same psum crossing an OS-process (DCN-path)
     # boundary (scripts/_distributed_worker.py ba mode, also pinned by
     # tests/test_parallel.py::test_two_process_sharded_ba_solve)
-    import re as _re
     import socket
     import subprocess
 
@@ -265,8 +264,14 @@ def main():
         [sys.executable, worker, "ba", f"127.0.0.1:{port}", "2", str(i)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
         for i in range(2)]
-    outs = [p_.communicate(timeout=300)[0] for p_ in procs]
-    m = _re.search(r"cross-process BA cost ([0-9.]+)->([0-9.]+) "
+    outs = []
+    for p_ in procs:
+        try:
+            outs.append(p_.communicate(timeout=300)[0])
+        except subprocess.TimeoutExpired:
+            p_.kill()
+            outs.append(p_.communicate()[0])
+    m = re.search(r"cross-process BA cost ([0-9.]+)->([0-9.]+) "
                    r"\(local ref ([0-9.]+)\) OK", outs[0])
     if m and all(p_.returncode == 0 for p_ in procs):
         results["two_process_ba"] = {

@@ -146,14 +146,18 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
     rx = c[:, None] * offs[None, :, 0] - s[:, None] * offs[None, :, 1]
     ry = s[:, None] * offs[None, :, 0] + c[:, None] * offs[None, :, 1]
     coords = (jnp.stack([rx, ry], axis=-1) + xy[:, None, :]) * scale
-    if xy.shape[0] >= 4096:
-        # dense-keypoint regime (the 4K/10k config): TPU gathers cost
-        # per-index and the 4-corner bilinear fetch dominates the whole
-        # ingest (measured 88.7 ms/frame at K=10240 — 4.3 s of a 48-frame
-        # run).  The cell samples read a POOLED map (σ_pool ≈ 2 map-px), so
-        # nearest sampling adds ≤0.5 px of jitter against a ≥2 px smoothing
-        # support — measured ATE unchanged at the 4K operating point, ~4×
-        # fewer gathers.
+    if xy.shape[0] >= 4096 and m >= 4:
+        # dense-keypoint, deep-pooled regime (the 4K/10k config, maps at
+        # 1/4 of coordinate space): TPU gathers cost per-index and the
+        # 4-corner bilinear fetch is a large share of the ingest (measured
+        # 88.7 ms/frame at K=10240 — 4.3 s of a 48-frame run).  The cell
+        # samples read a blurred+pooled map (σ_pool = 1 map-px at m=4 on
+        # top of the anti-alias pooling), so nearest sampling adds ≤0.5 px
+        # of jitter inside the smoothing support — measured at the 4K
+        # operating point the ATE got BETTER, ~4× fewer gathers.  Gated on
+        # BOTH slot count and m: a dense-keypoint config at full map
+        # resolution keeps bilinear (its pooling support is smaller and
+        # the jitter would no longer be negligible).
         samples = sample_maps(pooled, coords)       # [K,16,8] nearest
     else:
         samples = sample_maps_bilinear(pooled, coords)  # [K,16,8]

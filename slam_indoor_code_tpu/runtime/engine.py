@@ -307,6 +307,29 @@ class DeviceEngine:
         self._staged.append(self._packer.submit(pack_and_put))
         return True
 
+    def _dispatch_host_payload(self, slots, payload):
+        """Dispatch the device half of a host-mode chunk (payload layout per
+        _stage_chunk's pack_and_put: host_desc-dependent arrays + counts
+        last).  Shared by the classic and streaming ingest paths; returns
+        the host-side counts."""
+        counts = payload[-1]
+        if self.cfg.host_desc == "orb":
+            words, xy, valid, colors, _ = payload
+            self.state = steps.ingest_host_desc(
+                self.cfg, self.state, words, xy, valid, colors,
+                jnp.asarray(slots))
+        elif self.cfg.host_desc == "hybrid":
+            gray_small, bits, xy, valid, colors, _ = payload
+            self.state = steps.ingest_host_hybrid(
+                self.cfg, self.state, gray_small, bits, xy, valid,
+                colors, jnp.asarray(slots))
+        else:
+            gray_small, xy, valid, colors, _ = payload
+            self.state = steps.ingest_host(
+                self.cfg, self.state, gray_small, xy, valid, colors,
+                jnp.asarray(slots))
+        return counts
+
     def _dispatch_ingest(self) -> bool:
         """Dispatch ingest compute for the oldest staged chunk; its counts
         download is collected LATER (one cycle behind) so the extraction-gate
@@ -316,21 +339,7 @@ class DeviceEngine:
             return False
         slots, n, payload = self._staged.pop(0).result()
         if self.cfg.ingest_mode == "host":
-            if self.cfg.host_desc == "orb":
-                words, xy, valid, colors, counts = payload
-                self.state = steps.ingest_host_desc(
-                    self.cfg, self.state, words, xy, valid, colors,
-                    jnp.asarray(slots))
-            elif self.cfg.host_desc == "hybrid":
-                gray_small, bits, xy, valid, colors, counts = payload
-                self.state = steps.ingest_host_hybrid(
-                    self.cfg, self.state, gray_small, bits, xy, valid,
-                    colors, jnp.asarray(slots))
-            else:
-                gray_small, xy, valid, colors, counts = payload
-                self.state = steps.ingest_host(
-                    self.cfg, self.state, gray_small, xy, valid, colors,
-                    jnp.asarray(slots))
+            counts = self._dispatch_host_payload(slots, payload)
         else:
             gray, small = payload
             self.state, counts = steps.ingest(
@@ -496,6 +505,30 @@ class DeviceEngine:
             self.frames_accepted += 2
             return True
 
+    def _log_append_ba(self, out: np.ndarray, fill: int, ids: list,
+                       gd: GlobalData, timer: ChronoTimer):
+        """Parse one packed BA stats/poses vector (steps.ba_packed_len
+        layout), write the reference-format statistics lines, and append
+        the flushed (post-BA) cameras — shared by the classic deferred
+        collect and the streaming in-scan flush."""
+        F = self.cfg.window
+        cams = out[4:4 + F * 6].reshape(F, 6)
+        Rmats = out[4 + F * 6:].reshape(F, 3, 3)
+        if self.logs:
+            self.logs.main.write(
+                "Bundle Adjustment statistics (approximated RMSE):\n"
+                f" #residuals: {int(out[2])}\n"
+                f" Initial RMSE: {out[0]:.6f}\n"
+                f" Final RMSE: {out[1]:.6f}\n")
+            timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
+            timer.update_last_point()
+        for i in range(fill):
+            fid = ids[i] if i < len(ids) else -1
+            gd.append_cameras(Rmats[i][None], cams[i, 3:][None], [fid])
+            self.flushed_R.append(Rmats[i])
+            self.flushed_t.append(cams[i, 3:])
+            self.flushed_ids.append(fid)
+
     def _collect_ba(self, gd: GlobalData, timer: ChronoTimer):
         """Download + log a previously dispatched ba_step (deferred so the
         ~28 ms relay sync and the stats download ride behind the next
@@ -505,24 +538,7 @@ class DeviceEngine:
         out, fill, ids = self._ba_pending
         self._ba_pending = None
         out = np.asarray(out.result(), np.float64)  # ~1KB, downloaded async
-        F = self.cfg.window
-        rmse = out[:2]
-        cams = out[4:4 + F * 6].reshape(F, 6)
-        Rmats = out[4 + F * 6:].reshape(F, 3, 3)
-        if self.logs:
-            self.logs.main.write(
-                "Bundle Adjustment statistics (approximated RMSE):\n"
-                f" #residuals: {int(out[2])}\n"
-                f" Initial RMSE: {rmse[0]:.6f}\n"
-                f" Final RMSE: {rmse[1]:.6f}\n")
-            timer.print_last_point_delta("Bundle adjustment: ", self.logs.time)
-            timer.update_last_point()
-        for i in range(fill):
-            fid = ids[i] if i < len(ids) else -1
-            gd.append_cameras(Rmats[i][None], cams[i, 3:][None], [fid])
-            self.flushed_R.append(Rmats[i])
-            self.flushed_t.append(cams[i, 3:])
-            self.flushed_ids.append(fid)
+        self._log_append_ba(out, fill, ids, gd, timer)
 
     def _flush_window(self, gd: GlobalData, timer: ChronoTimer):
         """BA (if enabled) then move window poses to the trajectory
@@ -608,23 +624,7 @@ class DeviceEngine:
         t0 = ChronoTimer()
         slots, n, payload = self._staged.pop(0).result()
         self._trace(f"ingest dispatch chunk n={n}")
-        counts = payload[-1]
-        if self.cfg.host_desc == "orb":
-            words, xy, valid, colors, _ = payload
-            self.state = steps.ingest_host_desc(
-                self.cfg, self.state, words, xy, valid, colors,
-                jnp.asarray(slots))
-        elif self.cfg.host_desc == "hybrid":
-            gray_small, bits, xy, valid, colors, _ = payload
-            self.state = steps.ingest_host_hybrid(
-                self.cfg, self.state, gray_small, bits, xy, valid,
-                colors, jnp.asarray(slots))
-        else:
-            gray_small, xy, valid, colors, _ = payload
-            self.state = steps.ingest_host(
-                self.cfg, self.state, gray_small, xy, valid, colors,
-                jnp.asarray(slots))
-        counts = np.asarray(counts)
+        counts = np.asarray(self._dispatch_host_payload(slots, payload))
         C = len(slots)
         admit = np.zeros(C, bool)
         admit[:n] = counts[:n] >= self.required_extracted
@@ -697,7 +697,7 @@ class DeviceEngine:
             print(f"[stream {_t.perf_counter():.3f}] {msg}",
                   file=sys.stderr, flush=True)
 
-    def _dispatch_advance_stream(self) -> None:
+    def _dispatch_advance_stream(self, tail: bool = False) -> None:
         T = self.cfg.window
         self._key, *subs = jax.random.split(self._key, T + 1)
         keys = jnp.stack(subs)
@@ -708,7 +708,8 @@ class DeviceEngine:
                 self.cfg, self.state, self._q_dev, self._qhead_dev,
                 self._qlen_dev, self._winfill_dev, self._dead_dev, keys, T,
                 visible=self.batch_size,
-                collect_obs=self.collect_global_obs)
+                collect_obs=self.collect_global_obs,
+                tail=jnp.asarray(bool(tail)))
         fut = self._packer.submit(
             lambda p=packed, b=ba_vec, ox=obs_xy, oc=obs_corr:
             (np.asarray(p), np.asarray(b), np.asarray(ox), np.asarray(oc)))
@@ -727,24 +728,8 @@ class DeviceEngine:
             f.set_result(obs)
             self._global_obs.append((f, F, ids))
         if self.cfg.use_ba:
-            out = np.asarray(ba_vec, np.float64)
-            cams = out[4:4 + F * 6].reshape(F, 6)
-            Rmats = out[4 + F * 6:].reshape(F, 3, 3)
-            if self.logs:
-                self.logs.main.write(
-                    "Bundle Adjustment statistics (approximated RMSE):\n"
-                    f" #residuals: {int(out[2])}\n"
-                    f" Initial RMSE: {out[0]:.6f}\n"
-                    f" Final RMSE: {out[1]:.6f}\n")
-                timer.print_last_point_delta("Bundle adjustment: ",
-                                             self.logs.time)
-                timer.update_last_point()
-            for i in range(F):
-                fid = ids[i] if i < len(ids) else -1
-                gd.append_cameras(Rmats[i][None], cams[i, 3:][None], [fid])
-                self.flushed_R.append(Rmats[i])
-                self.flushed_t.append(cams[i, 3:])
-                self.flushed_ids.append(fid)
+            self._log_append_ba(np.asarray(ba_vec, np.float64), F, ids,
+                                gd, timer)
         else:
             for i, (R, t) in enumerate(zip(self.trajectory_R[-F:],
                                            self.trajectory_t[-F:])):
@@ -801,10 +786,15 @@ class DeviceEngine:
             if self.logs and good > 0:
                 for i in range(good):
                     sfid = self._slot_frame.get(self.batch[i], -1)
+                    if self.cfg.use_first_fit:
+                        why = (f"matched {int(row[24 + i])}; first-fit rule "
+                               f"chose index {good}")
+                    else:
+                        why = (f"matched {int(row[24 + i])} < best "
+                               f"{int(row[3])} at index {good}")
                     self.logs.main.write(
                         f"Skipped candidate at batch index {i} (frame "
-                        f"{sfid}): matched {int(row[24 + i])} < best "
-                        f"{int(row[3])} at index {good}\n")
+                        f"{sfid}): {why}\n")
             slot = self._consume_through(good)
             fid = self._slot_frame.get(slot, -1)
             self._release(slot)
@@ -876,7 +866,7 @@ class DeviceEngine:
             tail_ok = (self._media_over and not self._staged
                        and not self._pending and q_min > 0)
             if q_min >= need or tail_ok:
-                self._dispatch_advance_stream()
+                self._dispatch_advance_stream(tail=tail_ok)
                 if len(self._inflight) > self._stream_depth:
                     status = self._collect_process(gd, timer)
                 continue

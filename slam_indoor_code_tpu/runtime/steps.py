@@ -916,7 +916,8 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
                    queue: jnp.ndarray, q_head: jnp.ndarray,
                    q_len: jnp.ndarray, win_fill: jnp.ndarray,
                    dead: jnp.ndarray, keys: jnp.ndarray, t_steps: int,
-                   visible: int = 0, collect_obs: bool = False):
+                   visible: int = 0, collect_obs: bool = False,
+                   tail: jnp.ndarray | bool = False):
     """Streaming window advance: up to ``t_steps`` tracked frames AND the
     windowed-BA flush in ONE dispatch, queue cursors device-resident.
 
@@ -931,7 +932,16 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
     ``ba_vec`` is the flushed window's BA stats+poses (zeros when no flush
     happened; at most one per dispatch).  ``obs_xy/obs_corr`` are the
     flushed window's PRE-SOLVE observations for the final global BA — only
-    populated when ``collect_obs`` (a separate compiled variant)."""
+    populated when ``collect_obs`` (a separate compiled variant).
+
+    ``tail``: the host sets True only once the media is exhausted and every
+    staged chunk is admitted.  Until then a step requires a FULL ``visible``
+    candidate window to run (idling otherwise): the host's dispatch throttle
+    budgets one consumed entry per step, but a step may legally consume up
+    to ``visible`` (head skips), and letting a drained step scan a SHORT
+    window would make the candidate set depend on ingest wall-clock timing —
+    breaking the determinism/kill-and-resume contract.  Idled steps consume
+    nothing and the host simply re-dispatches once admissions catch up."""
     assert t_steps <= cfg.window, "advance_stream: t_steps must be <= window"
     Q = queue.shape[0]
     F = cfg.window
@@ -970,7 +980,8 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
 
     def body(carry, key):
         state, q_head, q_len, win_pos, alive, ba_out, obs_xy, obs_corr = carry
-        active = alive & (q_len > 0) & (win_pos < F)
+        enough = jnp.where(jnp.asarray(tail), q_len > 0, q_len >= Qv)
+        active = alive & enough & (win_pos < F)
 
         order_idx = (q_head + iota_q) % Q
         order = queue[order_idx]
