@@ -249,7 +249,10 @@ class TpuConfig:
     #                                 function_tolerance exits early anyway;
     #                                 30 LM iters tripled the solve for
     #                                 identical RMSE)
-    global_ba_cg_iters: int = 32    # CG iterations per LM step
+    global_ba_cg_iters: int = 16    # CG iterations per LM step (measured
+    #                                 on the 128-camera problem: RMSE 0.670
+    #                                 at cg=16 vs 0.668 at cg=32 for half
+    #                                 the solve time)
 
 
 @dataclass(frozen=True)
