@@ -350,6 +350,11 @@ def bench_kernels():
     # ~1 ms, which would swamp the kernel itself — so each measured unit is
     # ONE jit containing a 32-iteration lax.scan over the matcher (inputs
     # perturbed per step so nothing folds), timed end-to-end and divided.
+    # CAVEAT: this is the most environment-sensitive entry in the suite —
+    # the shared relay/chip drifts through multi-hour windows where ALL
+    # small-kernel timings (the jnp baseline included) run ~3x slower
+    # (measured 27 vs 64 us/pair for identical code).  The e2e modes are
+    # far less dispatch-bound and carry the real product signal.
     INNER = 32
 
     def time_fn(build, reps=5):
@@ -365,10 +370,18 @@ def bench_kernels():
         out = fn()
         jax.block_until_ready(out)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(reps)]
-        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
-        return (time.perf_counter() - t0) / (reps * INNER)
+        # min over reps, each rep one synced scan of INNER launches: a
+        # relay stall inside any single rep must not poison the number
+        # (one observed stall put 150 µs/pair into BENCH_SUITE vs the
+        # 27 µs every surrounding run measured)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            dt = (time.perf_counter() - t0) / INNER
+            best = dt if best is None else min(best, dt)
+        return best
 
     # compare the two implementations directly (match_pair picks one at
     # trace time from the backend, so benchmark the internals)
@@ -466,13 +479,17 @@ def bench_headline_gba():
                         cfg_fn)
 
 
+# Suite order: microbenchmarks FIRST — after ~30 min of e2e runs the
+# long-lived process/relay measurably degrades small-kernel dispatch
+# (observed 27 -> 65 us/pair for the identical kernel mode run last vs in
+# a fresh process), while the e2e modes are insensitive to position.
 MODES = {
+    "kernels": bench_kernels,
+    "ba": bench_ba_iterations,
     "headline": bench_headline,
     "headline_gba": bench_headline_gba,
     "orb": bench_orb_undistort,
     "4k": bench_4k,
-    "ba": bench_ba_iterations,
-    "kernels": bench_kernels,
 }
 
 
