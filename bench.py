@@ -346,16 +346,15 @@ def bench_kernels():
     b = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
     vb = jnp.ones((M,), bool)
 
-    # Per-call host dispatch through the remote tunnel floors out around
-    # ~1 ms, which would swamp the kernel itself — so each measured unit is
-    # ONE jit containing a 32-iteration lax.scan over the matcher (inputs
-    # perturbed per step so nothing folds), timed end-to-end and divided.
-    # CAVEAT: this is the most environment-sensitive entry in the suite —
-    # the shared relay/chip drifts through multi-hour windows where ALL
-    # small-kernel timings (the jnp baseline included) run ~3x slower
-    # (measured 27 vs 64 us/pair for identical code).  The e2e modes are
-    # far less dispatch-bound and carry the real product signal.
-    INNER = 32
+    # Per-PROGRAM-launch cost through the remote tunnel is large and
+    # drifts by relay window (measured 1-18 ms/launch at identical code),
+    # which would swamp the kernel itself — so each measured unit is ONE
+    # jit containing a 128-iteration lax.scan over the matcher (inputs
+    # perturbed per step so nothing folds), timed end-to-end and divided;
+    # min over reps.  128 iterations amortize even the degraded-window
+    # launch latency to <15% of the reading (a 32-iteration scan read
+    # 65 us/pair in a window where the same kernel measured 30 in-scan).
+    INNER = 128
 
     def time_fn(build, reps=5):
         def scanned():
