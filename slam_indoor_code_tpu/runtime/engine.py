@@ -751,7 +751,10 @@ class DeviceEngine:
 
         t0 = _t.perf_counter()
         packed, ba_vec, obs_xy, obs_corr = self._inflight.pop(0).result()
-        self._trace(f"collect waited {(_t.perf_counter()-t0)*1e3:.0f} ms")
+        self._trace(f"collect waited {(_t.perf_counter()-t0)*1e3:.0f} ms; "
+                    f"row0=[act={packed[0,0]:.0f} fnd={packed[0,1]:.0f} "
+                    f"ql={packed[0,22]:.0f}] adm={self._adm_total} "
+                    f"cons={self._cons_known}")
         T = packed.shape[0]
         win_ms = 0.0
         n_active = int((packed[:, 0] > 0.5).sum())

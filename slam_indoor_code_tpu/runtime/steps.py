@@ -1016,7 +1016,13 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
         q_head = jnp.where(found, (q_head + good + 1) % Q, q_head)
         q_len = jnp.where(found, q_len - good - 1, q_len)
         win_pos = jnp.where(accept, win_pos + 1, win_pos)
-        alive = alive & found & ok
+        # only an ACTIVE step's failure kills the stream: an idle step
+        # (queue below the visible floor while ingest catches up) has
+        # found=0 by construction, and `alive & found` here would latch the
+        # persistent dead flag with NO failure row for the host to see —
+        # every later dispatch then no-ops while the host keeps feeding the
+        # queue (measured: a permanent empty-dispatch spin at ≥256 frames)
+        alive = alive & (~active | (found & ok))
 
         # in-scan window flush (the classic loop's separate ba_step dispatch)
         full = accept & (win_pos >= F)

@@ -605,3 +605,50 @@ def test_streaming_track_loss_restart(rt_scene, tmp_path):
     gd = slam_main(cfg, rt_scene.K, frames=frames)
     assert len(gd.rotations) >= 10
     assert len(gd.points) > 150
+
+
+def test_advance_stream_idle_steps_do_not_latch_dead(rt_scene):
+    """An advance_stream dispatch whose steps IDLE (queue below the
+    visible-lane floor while ingest catches up, tail=False) must come back
+    with dead=False and zero consumption — the found=0 of an idle step is
+    not a scan failure.  Regression: `alive &= found` latched the
+    persistent dead flag with no failure row, and every later dispatch
+    no-op'd while the host kept feeding the queue (a permanent
+    empty-dispatch spin on ≥256-frame runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.runtime import DeviceEngine, EngineConfig
+    from slam_indoor_code_tpu.runtime import steps
+    from slam_indoor_code_tpu.io.media import ArraySource
+
+    frames = [rt_scene.render(i) for i in range(4)]
+    cfg = EngineConfig(max_keypoints=256, ring=12, map_cap=2048, window=4,
+                       window_points=2048, threshold=20.0,
+                       required_matched=30, ransac_iters=128, pnp_iters=64,
+                       ingest_mode="host", ingest_downscale=1,
+                       host_desc="hybrid")
+    eng = DeviceEngine(ArraySource(frames), rt_scene.K, cfg,
+                       batch_size=6, required_extracted=50)
+    cfg = eng.cfg  # engine-resolved (ring headroom etc.)
+    T = cfg.window
+    queue = jnp.zeros((cfg.ring,), jnp.int32)
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(T)])
+    # q_len=3 < visible=6 and tail=False: every step must idle
+    (state, q_head, q_len, win_fill, dead, packed, ba_vec, _ox, _oc) = \
+        steps.advance_stream(
+            cfg, eng.state, queue, jnp.zeros((), jnp.int32),
+            jnp.asarray(3, jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), keys, T, visible=6,
+            tail=jnp.asarray(False))
+    packed = np.asarray(packed)
+    assert not bool(np.asarray(dead)), "idle steps must not latch dead"
+    assert int(np.asarray(q_len)) == 3, "idle steps must consume nothing"
+    assert (packed[:, 0] < 0.5).all(), "all steps idle below the floor"
+    # same dispatch with tail=True runs (short window is legal at the tail)
+    (_s, _qh, q_len2, _wf, dead2, packed2, _b, _ox2, _oc2) = \
+        steps.advance_stream(
+            cfg, state, queue, q_head, jnp.asarray(3, jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool), keys, T,
+            visible=6, tail=jnp.asarray(True))
+    assert np.asarray(packed2)[0, 0] > 0.5, "tail dispatch must step"
