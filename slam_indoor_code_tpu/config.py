@@ -249,6 +249,39 @@ class TpuConfig:
     #                                 function_tolerance exits early anyway;
     #                                 30 LM iters tripled the solve for
     #                                 identical RMSE)
+    head_tie_tolerance: float = 0.0  # near-tie head preference in the
+    #                                 good-frame rule: 0.0 = the reference's
+    #                                 strict max-matches (batch.cpp:93-98);
+    #                                 0.005 accepts the head frame when its
+    #                                 match count is within 0.5% of the best
+    #                                 (a documented DIVERGENCE knob: the
+    #                                 strict rule's audited skips are
+    #                                 near-ties 1-4 matches short — turn
+    #                                 this on to keep every camera)
+    adaptive_fast_threshold: bool = True  # host-ingest extraction gate
+    #                                 adaptation: when a chunk's post-NMS
+    #                                 corner counts sag below
+    #                                 requiredExtractedPointsCount (the
+    #                                 reference's static admission gate,
+    #                                 batch.cpp:242-247, would drop every
+    #                                 frame and force a track-loss restart),
+    #                                 the host lowers the FAST threshold for
+    #                                 subsequent chunks — bounded at 1/4 of
+    #                                 the configured value, raised back when
+    #                                 counts recover, every change logged to
+    #                                 main.txt.  No effect while counts are
+    #                                 healthy (the benchmark scenes never
+    #                                 trigger it); host-ingest only (the
+    #                                 device detector's threshold is
+    #                                 compile-time static)
+    sift_nearest_sampling: str = "auto"  # SIFT cell-sample interpolation:
+    #                                 "on" = nearest map cell (4x fewer
+    #                                 gathers), "off" = 4-corner bilinear,
+    #                                 "auto" = nearest only at K>=4096 with
+    #                                 maps at >=1/4 of coordinate space (the
+    #                                 measured 4K/10k regime).  Explicit so
+    #                                 large-K configs outside that operating
+    #                                 point are never switched silently.
     global_ba_cg_iters: int = 16    # CG iterations per LM step (measured
     #                                 on the 128-camera problem: RMSE 0.670
     #                                 at cg=16 vs 0.668 at cg=32 for half

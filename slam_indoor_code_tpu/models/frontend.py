@@ -32,12 +32,14 @@ class FrontendConfig:
     ratio: float = 0.7
     metric: str = "l2"         # 'l2' | 'l1' | 'hamming'
     descriptor_downscale: int = 1  # sift dense maps at 1/d resolution
+    sift_nearest: str = "auto"  # cell-sample interpolation (sift.describe)
 
 
 def _describe(cfg: "FrontendConfig", gray, xy, valid):
     if cfg.descriptor == "orb":
         return orb.describe(gray, xy, valid)
-    return sift.describe(gray, xy, valid, downscale=cfg.descriptor_downscale)
+    return sift.describe(gray, xy, valid, downscale=cfg.descriptor_downscale,
+                         nearest=cfg.sift_nearest)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -365,7 +367,8 @@ def describe_packed_batch(cfg: FrontendConfig, gray_small: jnp.ndarray,
         if cfg.descriptor == "orb":
             return orb.describe(g, kxy, kv, pre_downscale=ingest_downscale)
         return sift.describe(g, kxy, kv, downscale=cfg.descriptor_downscale,
-                             pre_downscale=ingest_downscale)
+                             pre_downscale=ingest_downscale,
+                             nearest=cfg.sift_nearest)
 
     return jax.vmap(one)(gray, xy, valid)["desc"]
 
@@ -405,4 +408,5 @@ def frontend_config_from(cfg) -> FrontendConfig:
         ratio=float(cfg.knnMatcherDistance),
         metric=cfg.match_metric,
         descriptor_downscale=cfg.tpu.descriptor_downscale,
+        sift_nearest=cfg.tpu.sift_nearest_sampling,
     )

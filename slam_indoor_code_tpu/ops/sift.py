@@ -100,9 +100,10 @@ def _dominant_orientation(hist: jnp.ndarray) -> jnp.ndarray:
     return (bin_center / ORI_BINS) * 2.0 * jnp.pi - jnp.pi
 
 
-@partial(jax.jit, static_argnames=("downscale", "pre_downscale"))
+@partial(jax.jit, static_argnames=("downscale", "pre_downscale", "nearest"))
 def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
-             downscale: int = 1, pre_downscale: int = 1):
+             downscale: int = 1, pre_downscale: int = 1,
+             nearest: str = "auto"):
     """SIFT descriptors for K keypoints of one [H,W] frame.
 
     ``downscale`` computes the dense orientation-energy maps at 1/d
@@ -113,6 +114,12 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
     coordinate resolution of ``xy`` (host-detect ingest uploads a mean-pooled
     gray plane to cut link bytes; keypoint coords stay full-res).  The two
     compose: maps live at 1/(d·p) of coordinate space.
+
+    ``nearest`` selects the cell-sample interpolation: "on" = nearest map
+    cell (~4× fewer gathers; ≤0.5 px jitter inside the pooled maps'
+    smoothing support), "off" = 4-corner bilinear, "auto" = nearest only in
+    the dense-keypoint deep-pooled regime (K≥4096 and maps at ≥1/4 of
+    coordinate space — the measured 4K/10k operating point).
 
     Returns dict: desc [K,128] float32 (L2-normalized, 0.2-clipped),
     angle [K], valid [K]."""
@@ -146,7 +153,14 @@ def describe(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
     rx = c[:, None] * offs[None, :, 0] - s[:, None] * offs[None, :, 1]
     ry = s[:, None] * offs[None, :, 0] + c[:, None] * offs[None, :, 1]
     coords = (jnp.stack([rx, ry], axis=-1) + xy[:, None, :]) * scale
-    if xy.shape[0] >= 4096 and m >= 4:
+    # cell-sample interpolation: "on"/"off" force nearest/bilinear; "auto"
+    # infers the dense-keypoint deep-pooled regime from shape (the 4K/10k
+    # operating point where the switch was measured) — an explicit config
+    # flag exists so other large-K configs are never switched silently
+    # (TpuConfig.sift_nearest_sampling)
+    use_nearest = (nearest == "on" or
+                   (nearest == "auto" and xy.shape[0] >= 4096 and m >= 4))
+    if use_nearest:
         # dense-keypoint, deep-pooled regime (the 4K/10k config, maps at
         # 1/4 of coordinate space): TPU gathers cost per-index and the
         # 4-corner bilinear fetch is a large share of the ingest (measured

@@ -53,6 +53,7 @@ class BatchScheduler:
                  required_matched: int,
                  skip_from_head: int = 0,
                  use_first_fit: bool = False,
+                 head_tie_tolerance: float = 0.0,
                  report=None,
                  K=None, dist=None):
         self.media = media
@@ -66,6 +67,7 @@ class BatchScheduler:
         self.required_matched = required_matched
         self.skip_from_head = skip_from_head
         self.use_first_fit = use_first_fit
+        self.head_tie_tolerance = head_tie_tolerance
         self.batch: list[BatchElement] = []
         self._pending: list[BatchElement] = []
         self._media_over = False
@@ -179,7 +181,12 @@ class BatchScheduler:
         if self.use_first_fit:
             return int(eligible.max())  # tail-most fit (scan breaks at tail)
         best = counts[eligible].max()
-        return int(eligible[counts[eligible] == best].min())  # head-most max
+        # head_tie_tolerance > 0: documented divergence knob — any eligible
+        # count within the tolerance of the best competes, head-most wins
+        # (steps._select_good is the device twin of this rule)
+        cut = (int(np.ceil(best * (1.0 - self.head_tie_tolerance)))
+               if self.head_tie_tolerance > 0.0 else best)
+        return int(eligible[counts[eligible] >= cut].min())  # head-most max
 
     # ------------------------------------------------------------- bootstrap
     def pop_head(self) -> BatchElement:

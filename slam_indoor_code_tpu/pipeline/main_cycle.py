@@ -54,6 +54,7 @@ class CycleSettings:
     batch_size: int
     skip_from_head: int
     use_first_fit: bool
+    head_tie_tolerance: float
     use_ransac: bool
     ransac_threshold: float
     distance_threshold: float
@@ -70,6 +71,7 @@ class CycleSettings:
             batch_size=cfg.framesBatchSize,
             skip_from_head=cfg.skipFramesFromBatchHead,
             use_first_fit=cfg.useFirstFitInBatch,
+            head_tie_tolerance=float(cfg.tpu.head_tie_tolerance),
             use_ransac=cfg.RPUseRANSAC,
             ransac_threshold=cfg.RPRANSACThreshold,
             distance_threshold=cfg.RPDistanceThreshold,
@@ -146,6 +148,7 @@ class MainCycle:
             required_matched=settings.required_matched,
             skip_from_head=settings.skip_from_head,
             use_first_fit=settings.use_first_fit,
+            head_tie_tolerance=settings.head_tie_tolerance,
             report=logs.main if logs else None,
             K=self.K, dist=self.dist,
         )

@@ -32,6 +32,9 @@ def save_checkpoint(path: str, engine) -> None:
     # position for an identical continuation
     arrays["host_prev_fid"] = np.asarray(engine._prev_fid)
     arrays["host_win_ids"] = np.asarray(engine._win_ids, np.int64)
+    # v5: live adaptive FAST threshold (engine._adapt_threshold) — a resumed
+    # run keeps detecting at the adapted value instead of snapping back
+    arrays["host_fast_threshold"] = np.asarray(engine._fast_threshold)
     # flushed (post-BA) trajectory so far: a resumed run re-emits the full
     # output trajectory, not just its tail (format v3)
     arrays["host_flushed_R"] = (np.stack(engine.flushed_R)
@@ -106,6 +109,8 @@ def load_checkpoint(path: str, engine) -> None:
         engine._prev_fid = int(data["host_prev_fid"])
         engine._frame_counter = engine._prev_fid + 1
         engine._win_ids = [int(i) for i in data["host_win_ids"]]
+    if "host_fast_threshold" in data:  # format v5: adaptive extraction gate
+        engine._fast_threshold = float(data["host_fast_threshold"])
     if "host_flushed_ids" in data:  # format v3: flushed trajectory + obs
         engine.flushed_R = list(data["host_flushed_R"])
         engine.flushed_t = list(data["host_flushed_t"])

@@ -137,7 +137,13 @@ class DeviceEngine:
         if scale_w > 1.0:
             cfg = dataclasses.replace(
                 cfg, reproj_gate_px=cfg.reproj_gate_px * scale_w)
+        # window<=2 falls back to the classic loop: the bootstrap pair fills
+        # the window completely (win_fill=2), and advance_stream steps gate on
+        # win_pos < window with no flush-on-entry — every step would be
+        # inactive and run_streaming would re-dispatch empty windows forever.
+        # The classic loop flushes at its loop top, so it handles this config.
         self._will_stream = (cfg.streaming and cfg.ingest_mode == "host"
+                             and cfg.window > 2
                              and not cfg.mesh_shape
                              and not cfg.per_frame_telemetry)
         if self._will_stream:
@@ -175,6 +181,14 @@ class DeviceEngine:
         # chunks' uploads sit in socket I/O on the tunnel
         # (chunk order is preserved — _staged futures pop FIFO)
         self._packer = ThreadPoolExecutor(max_workers=3)
+        # adaptive extraction gate (host ingest only): the live host-side
+        # FAST threshold.  Chunks capture it at STAGE time on the main
+        # thread, so the chunk→threshold mapping is a deterministic function
+        # of the collected-count history (no wall-clock dependence); the
+        # checkpoint persists it (v5) so a resumed run continues with the
+        # adapted value.
+        self._fast_threshold = float(cfg.threshold)
+        self._fast_floor = max(5.0, float(cfg.threshold) / 4.0)
         self._media_over = False
         self._win_fill = 0
         self.trajectory_R: list[np.ndarray] = []   # flushed (post-BA) poses
@@ -276,11 +290,13 @@ class DeviceEngine:
                 return jax.device_put(a, NamedSharding(self.mesh, spec))
             return jnp.asarray(a)
 
+        thr = self._fast_threshold  # captured on the main thread (see __init__)
+
         def pack_and_put():
             if self.cfg.ingest_mode == "host":
                 from ..models.frontend import host_detect_pack
 
-                p = host_detect_pack(chunk, self.cfg.threshold,
+                p = host_detect_pack(chunk, thr,
                                      self.cfg.max_keypoints,
                                      self.cfg.ingest_downscale,
                                      host_desc=self.cfg.host_desc)
@@ -354,6 +370,7 @@ class DeviceEngine:
             return False
         slots, n, counts = self._pending.pop(0)
         counts = np.asarray(counts)[:n]
+        self._adapt_threshold(counts)
         for i in range(n):
             if counts[i] >= self.required_extracted:
                 self.batch.append(int(slots[i]))
@@ -368,6 +385,36 @@ class DeviceEngine:
                            if c >= self.required_extracted)
                 + f"\nBatch size: {len(self.batch)}\n")
         return True
+
+    def _adapt_threshold(self, counts: np.ndarray) -> None:
+        """Adaptive extraction gate (host ingest): when a chunk's post-NMS
+        corner counts sag below ``requiredExtractedPointsCount`` the static
+        admission gate (batch.cpp:242-247) would drop every frame and force
+        a track-loss restart on feature-sparse stretches — so lower the FAST
+        threshold for subsequent chunks, bounded at 1/4 of the configured
+        value, and raise it back (never above the configured value) once
+        counts recover.  Every change is logged to main.txt.  A healthy
+        scene never trips either edge, so benchmark behaviour is unchanged."""
+        if (not self.cfg.adaptive_threshold or self.cfg.ingest_mode != "host"
+                or len(counts) == 0):
+            return
+        med = float(np.median(counts))
+        thr = self._fast_threshold
+        if med < self.required_extracted and thr > self._fast_floor:
+            new = max(self._fast_floor, round(thr * 0.75))
+        elif (med > 4.0 * self.required_extracted
+              and thr < self.cfg.threshold):
+            new = min(float(self.cfg.threshold), round(thr / 0.75))
+        else:
+            return
+        if new == thr:
+            return
+        self._fast_threshold = new
+        if self.logs:
+            self.logs.main.write(
+                f"Adaptive FAST threshold: {thr:g} -> {new:g} "
+                f"(median corners {med:g} vs required "
+                f"{self.required_extracted})\n")
 
     def fill(self, target: int | None = None) -> None:
         t0 = ChronoTimer()

@@ -35,6 +35,7 @@ class EngineConfig:
     ratio: float = 0.7
     metric: str = "l2"
     descriptor_downscale: int = 1
+    sift_nearest: str = "auto"   # SIFT cell-sample interpolation (ops/sift.py)
     color_downscale: int = 4     # landmark-color plane at 1/d resolution
     # ingest policy: "device" = upload full gray, detect+describe on device;
     # "host" = OpenCV FAST on host, upload pooled gray + keypoints (the
@@ -60,10 +61,19 @@ class EngineConfig:
     # measurement of that step (batch.cpp:155-157 parity); costs the
     # per-dispatch sync the fused loops exist to avoid — a measurement mode
     per_frame_telemetry: bool = False
+    # host-ingest adaptive extraction gate (engine._adapt_threshold):
+    # lower the host FAST threshold when chunk corner counts sag below
+    # required_extracted, bounded + logged; no-op on healthy scenes
+    adaptive_threshold: bool = True
     # scheduler rule
     required_matched: int = 100
     skip_from_head: int = 0
     use_first_fit: bool = False
+    # near-tie head preference (steps._select_good): 0.0 = strict reference
+    # max-matches rule; e.g. 0.005 accepts the head when it is within 0.5%
+    # of the best count (documented divergence knob — recovers the audited
+    # near-tie skips for callers that want every camera)
+    head_tie_tolerance: float = 0.0
     # geometry
     use_undistortion: bool = False
     use_ransac: bool = True
@@ -128,6 +138,8 @@ class EngineConfig:
             ratio=float(cfg.knnMatcherDistance),
             metric=cfg.match_metric,
             descriptor_downscale=cfg.tpu.descriptor_downscale,
+            sift_nearest=cfg.tpu.sift_nearest_sampling,
+            adaptive_threshold=cfg.tpu.adaptive_fast_threshold,
             ingest_mode=cfg.tpu.ingest,
             ingest_downscale=cfg.tpu.ingest_downscale,
             host_desc=cfg.tpu.host_descriptor,
@@ -139,6 +151,7 @@ class EngineConfig:
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,
             use_first_fit=cfg.useFirstFitInBatch,
+            head_tie_tolerance=float(cfg.tpu.head_tie_tolerance),
             use_ransac=cfg.RPUseRANSAC,
             ransac_threshold=float(cfg.RPRANSACThreshold),
             distance_threshold=float(cfg.RPDistanceThreshold),

@@ -82,7 +82,28 @@ def _frontend_cfg(cfg: EngineConfig) -> fe.FrontendConfig:
         max_keypoints=cfg.max_keypoints, threshold=cfg.threshold,
         descriptor=cfg.descriptor, ratio=cfg.ratio, metric=cfg.metric,
         descriptor_downscale=cfg.descriptor_downscale,
+        sift_nearest=cfg.sift_nearest,
     )
+
+
+def _select_good(cfg: EngineConfig, eligible: jnp.ndarray,
+                 counts: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """The good-frame rule, shared by every scheduler variant: tail-most
+    first-fit (batch.cpp:120-148 with useFirstFitInBatch) or head-most
+    max-matches (batch.cpp:93-98).  ``head_tie_tolerance`` > 0 is a
+    documented DIVERGENCE knob (default 0 = strict reference rule): every
+    eligible frame within the tolerance of the best count competes and the
+    head-most wins, so a head frame 1-4 matches short of a later near-tie
+    is accepted instead of skipped.  Callers still gate on any(eligible)."""
+    if cfg.use_first_fit:
+        return jnp.max(jnp.where(eligible, pos, -1))
+    best = jnp.max(jnp.where(eligible, counts, -1))
+    if cfg.head_tie_tolerance > 0.0:
+        cut = jnp.ceil(best.astype(jnp.float32)
+                       * (1.0 - cfg.head_tie_tolerance)).astype(jnp.int32)
+    else:
+        cut = best
+    return jnp.argmax(eligible & (counts >= cut)).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------- ingest
@@ -239,14 +260,7 @@ def match_select(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
     eligible = (pos >= cfg.skip_from_head) & order_mask & (
         counts >= cfg.required_matched)
     any_ok = eligible.any()
-    if cfg.use_first_fit:
-        # tail-most fitting frame
-        good = jnp.max(jnp.where(eligible, pos, -1))
-    else:
-        best = jnp.max(jnp.where(eligible, counts, -1))
-        # head-most index achieving the max
-        good = jnp.argmax(jnp.where(eligible, counts, -1) == best).astype(jnp.int32)
-    good = jnp.where(any_ok, good, -1)
+    good = jnp.where(any_ok, _select_good(cfg, eligible, counts, pos), -1)
     info = jnp.stack([
         any_ok.astype(jnp.int32), good.astype(jnp.int32),
         jnp.where(any_ok, counts[jnp.maximum(good, 0)], 0),
@@ -752,12 +766,7 @@ def advance_step(cfg: EngineConfig, state: TrackerState, order: jnp.ndarray,
     eligible = (pos_arr >= cfg.skip_from_head) & order_mask & (
         counts >= cfg.required_matched)
     any_ok = eligible.any()
-    if cfg.use_first_fit:
-        good = jnp.max(jnp.where(eligible, pos_arr, -1))
-    else:
-        best = jnp.max(jnp.where(eligible, counts, -1))
-        good = jnp.argmax(jnp.where(eligible, counts, -1) == best).astype(jnp.int32)
-    good = jnp.where(any_ok, good, 0)
+    good = jnp.where(any_ok, _select_good(cfg, eligible, counts, pos_arr), 0)
 
     slot = order[good]
     train = res["train_idx"][good]
@@ -829,13 +838,8 @@ def advance_window(cfg: EngineConfig, state: TrackerState,
         eligible = (iota_q >= cfg.skip_from_head) & order_mask & (
             counts >= cfg.required_matched)
         any_ok = eligible.any()
-        if cfg.use_first_fit:
-            good = jnp.max(jnp.where(eligible, iota_q, -1))
-        else:
-            best = jnp.max(jnp.where(eligible, counts, -1))
-            good = jnp.argmax(jnp.where(eligible, counts, -1) == best
-                              ).astype(jnp.int32)
-        good = jnp.where(any_ok, good, 0)
+        good = jnp.where(any_ok,
+                         _select_good(cfg, eligible, counts, iota_q), 0)
         found = any_ok & active
 
         slot = order[good]
@@ -997,13 +1001,8 @@ def advance_stream(cfg: EngineConfig, state: TrackerState,
         eligible = (iota_q >= cfg.skip_from_head) & order_mask & (
             counts >= cfg.required_matched)
         any_ok = eligible.any()
-        if cfg.use_first_fit:
-            good = jnp.max(jnp.where(eligible, iota_q, -1))
-        else:
-            best = jnp.max(jnp.where(eligible, counts, -1))
-            good = jnp.argmax(jnp.where(eligible, counts, -1) == best
-                              ).astype(jnp.int32)
-        good = jnp.where(any_ok, good, 0)
+        good = jnp.where(any_ok,
+                         _select_good(cfg, eligible, counts, iota_q), 0)
         found = any_ok & active
 
         slot = order[good]

@@ -652,3 +652,104 @@ def test_advance_stream_idle_steps_do_not_latch_dead(rt_scene):
             jnp.zeros((), jnp.int32), jnp.zeros((), bool), keys, T,
             visible=6, tail=jnp.asarray(True))
     assert np.asarray(packed2)[0, 0] > 0.5, "tail dispatch must step"
+
+
+def test_window2_falls_back_to_classic_loop(rt_scene, tmp_path):
+    """BAMaxFramesCnt=2 must not livelock the streaming loop: the bootstrap
+    pair fills the window completely (win_fill=2) and advance_stream steps
+    gate on win_pos < window with no flush-on-entry — every step would idle
+    and run_streaming would re-dispatch empty windows forever.  The engine
+    routes window<=2 to the classic loop (which flushes at its loop top)."""
+    from slam_indoor_code_tpu.runtime import DeviceEngine, EngineConfig
+    from slam_indoor_code_tpu.io.media import ArraySource
+
+    cfg2 = EngineConfig(max_keypoints=256, window=2, ingest_mode="host",
+                        streaming=True)
+    eng = DeviceEngine(ArraySource([rt_scene.render(0)]), rt_scene.K, cfg2,
+                       batch_size=4, required_extracted=50)
+    assert not eng._will_stream, "window<=2 must use the classic loop"
+    # and the full product path completes with BA flushing every 2 frames
+    gd, rel = _run(rt_scene, tmp_path, True, useBundleAdjustment=True,
+                   BAMaxFramesCnt=2, BAUseHuberLossFunction=True,
+                   BAHuberLossFunctionParameter=2.0)
+    assert len(gd.rotations) >= 10
+    assert rel < 0.06, f"window=2 ATE {rel:.3f}"
+
+
+def test_adaptive_threshold_lowers_and_recovers(rt_scene):
+    """Adaptive extraction gate (engine._adapt_threshold): sagging post-NMS
+    corner counts lower the host FAST threshold (bounded at 1/4 of the
+    configured value, logged); recovered counts raise it back, never above
+    the configured value; healthy counts leave it untouched."""
+    import io
+
+    from slam_indoor_code_tpu.runtime import DeviceEngine, EngineConfig
+    from slam_indoor_code_tpu.io.media import ArraySource
+
+    class _Logs:
+        def __init__(self):
+            self.main = io.StringIO()
+
+    cfg = EngineConfig(max_keypoints=256, threshold=20.0, ingest_mode="host",
+                       adaptive_threshold=True)
+    eng = DeviceEngine(ArraySource([rt_scene.render(0)]), rt_scene.K, cfg,
+                       batch_size=4, required_extracted=100)
+    eng.logs = _Logs()
+    # healthy chunk: no change
+    eng._adapt_threshold(np.array([400, 380, 395]))
+    assert eng._fast_threshold == 20.0
+    # sparse chunks: lower, bounded at threshold/4
+    for _ in range(12):
+        eng._adapt_threshold(np.array([40, 35, 50]))
+    assert eng._fast_threshold == eng._fast_floor == 5.0
+    assert "Adaptive FAST threshold" in eng.logs.main.getvalue()
+    # rich chunks (well above 4x required): raised back, capped at configured
+    for _ in range(12):
+        eng._adapt_threshold(np.array([900, 950, 880]))
+    assert eng._fast_threshold == 20.0
+    # disabled knob: no adaptation at all
+    cfg_off = EngineConfig(max_keypoints=256, threshold=20.0,
+                           ingest_mode="host", adaptive_threshold=False)
+    eng2 = DeviceEngine(ArraySource([rt_scene.render(0)]), rt_scene.K,
+                        cfg_off, batch_size=4, required_extracted=100)
+    eng2._adapt_threshold(np.array([10, 10, 10]))
+    assert eng2._fast_threshold == 20.0
+
+
+def test_head_tie_tolerance_prefers_head():
+    """head_tie_tolerance: strict rule (0.0) picks the head-most MAX; with a
+    tolerance the head competes when within tol of the best (the audited
+    near-tie skips: 1099 vs 1103).  Host scheduler and device _select_good
+    agree."""
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.pipeline.batch import BatchScheduler
+    from slam_indoor_code_tpu.runtime import EngineConfig
+    from slam_indoor_code_tpu.runtime.steps import _select_good
+
+    def host_pick(tol, counts):
+        s = BatchScheduler.__new__(BatchScheduler)
+        s.skip_from_head = 0
+        s.required_matched = 30
+        s.use_first_fit = False
+        s.head_tie_tolerance = tol
+        return s._select(np.asarray(counts))
+
+    counts = [1099, 1103, 900]
+    assert host_pick(0.0, counts) == 1       # strict: best wins
+    assert host_pick(0.005, counts) == 0     # within 0.5%: head wins
+    assert host_pick(0.005, [1000, 1103, 900]) == 1  # outside tol: best wins
+
+    for tol, expect in [(0.0, 1), (0.005, 0)]:
+        cfg = EngineConfig(head_tie_tolerance=tol, required_matched=30)
+        eligible = jnp.asarray([True, True, True])
+        got = int(_select_good(cfg, eligible,
+                               jnp.asarray(counts, jnp.int32),
+                               jnp.arange(3, dtype=jnp.int32)))
+        assert got == expect, (tol, got)
+    # non-eligible lanes can never win even with a huge count
+    cfg = EngineConfig(head_tie_tolerance=0.0, required_matched=30)
+    got = int(_select_good(cfg, jnp.asarray([False, True, False]),
+                           jnp.asarray([5000, 100, 40], jnp.int32),
+                           jnp.arange(3, dtype=jnp.int32)))
+    assert got == 1
