@@ -54,7 +54,7 @@ def main():
     print(f"proc {pid}: global psum {total} OK", flush=True)
 
 
-if __name__ == "__main__" and sys.argv[1:2] != ["ba"]:
+if __name__ == "__main__" and sys.argv[1:2] not in (["ba"], ["pipeline"]):
     main()
 
 
@@ -132,4 +132,80 @@ def ba_main():
 
 if __name__ == "__main__" and sys.argv[1:2] == ["ba"]:
     ba_main()
+    sys.exit(0)
+
+
+def pipeline_main():
+    """The FULL product (`slam_main`) across two OS processes: a global
+    2-device mesh (one CPU device per process), `tpu.mesh_shape=(2,)` —
+    ingest payloads land pre-sharded over the chunk axis per process, the
+    candidate-match fan-out and the BA observation axis run sharded, and
+    XLA's collectives cross the OS-process (DCN-path) boundary inside every
+    tracking dispatch.  Each process then re-runs the identical scene on a
+    LOCAL single-device mesh and asserts the trajectories agree (the same
+    contract as test_slam_main_on_mesh_matches_single_device)."""
+    coordinator, nproc, pid = sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from slam_indoor_code_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(coordinator=coordinator, num_processes=nproc,
+                           process_id=pid)
+    assert jax.process_count() == nproc
+
+    import tempfile
+
+    import numpy as np
+
+    from slam_indoor_code_tpu.app import slam_main
+    from slam_indoor_code_tpu.config import Config, TpuConfig
+    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
+    from slam_indoor_code_tpu.metrics.ate import camera_centers
+    from slam_indoor_code_tpu.testing import make_scene
+
+    # both processes build the identical scene (same seed) — the SPMD
+    # contract: every process feeds the same global computation
+    scene = make_scene(n_points=700, n_frames=12, seed=5, baseline=0.3)
+    frames = [scene.render(i) for i in range(12)]
+
+    def run(mesh_shape, tag):
+        out = tempfile.mkdtemp(prefix=f"pipe2_{tag}_{pid}_")
+        cfg = Config(
+            usePhotosCycle=True, outputDataDir=out,
+            requiredExtractedPointsCount=80, featureExtractingThreshold=20,
+            framesBatchSize=6, requiredMatchedPointsCount=30,
+            knnMatcherDistance=0.8, RPDistanceThreshold=500.0,
+            useBundleAdjustment=True, BAMaxFramesCnt=8,
+            BAUseHuberLossFunction=True, BAHuberLossFunctionParameter=2.0,
+            tpu=TpuConfig(max_keypoints=512, ransac_iters=256,
+                          pnp_ransac_iters=128, window_points=2048,
+                          ba_max_iters=10, mesh_shape=mesh_shape,
+                          ingest="host", ingest_downscale=1))
+        return slam_main(cfg, scene.K, frames=list(frames))
+
+    gd_g = run((nproc,), "global")
+    from slam_indoor_code_tpu.runtime import steps
+
+    steps.set_active_mesh(None)
+    gd_l = run((), "local")
+
+    assert len(gd_g.rotations) == len(gd_l.rotations), (
+        len(gd_g.rotations), len(gd_l.rotations))
+    assert (np.asarray(gd_g.frame_ids) == np.asarray(gd_l.frame_ids)).all()
+    cg = camera_centers(gd_g.rotations, gd_g.positions)
+    cl = camera_centers(gd_l.rotations, gd_l.positions)
+    ext = float(np.linalg.norm(cl.max(0) - cl.min(0)))
+    ate_rel = absolute_trajectory_error(cg, cl) / max(ext, 1e-9)
+    assert ate_rel < 0.03, f"mesh-vs-local ATE {100 * ate_rel:.2f}%"
+    gt = scene.centers()[gd_g.frame_ids]
+    ate_gt = absolute_trajectory_error(cg, gt) / max(
+        float(np.linalg.norm(gt.max(0) - gt.min(0))), 1e-9)
+    print(f"proc {pid}: two-process pipeline cameras {len(gd_g.rotations)} "
+          f"map {len(gd_g.points)} ate-vs-local {100 * ate_rel:.3f}% "
+          f"ate-vs-gt {100 * ate_gt:.3f}% OK", flush=True)
+
+
+if __name__ == "__main__" and sys.argv[1:2] == ["pipeline"]:
+    pipeline_main()
     sys.exit(0)

@@ -286,6 +286,8 @@ def main():
     else:
         results["two_process_ba"] = {"error": outs[0][-300:]}
 
+    run_two_process_pipeline(results)
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
     with open(out, "w") as f:
@@ -293,5 +295,71 @@ def main():
     print("wrote", out)
 
 
+def run_two_process_pipeline(results: dict) -> None:
+    """The FULL slam_main across two OS processes (worker `pipeline` mode):
+    global 2-device mesh, ingest fan-out + matching + BA observation axis
+    sharded one-device-per-process, trajectory parity asserted against each
+    process's local single-device run.  Also pinned by
+    tests/test_parallel.py::test_two_process_pipeline."""
+    import re
+    import socket
+    import subprocess
+
+    with socket.socket() as sck:
+        sck.bind(("127.0.0.1", 0))
+        port = sck.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "scripts", "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "pipeline", f"127.0.0.1:{port}", "2",
+         str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p_ in procs:
+        try:
+            outs.append(p_.communicate(timeout=800)[0])
+        except subprocess.TimeoutExpired:
+            p_.kill()
+            outs.append(p_.communicate()[0])
+    m = re.search(r"two-process pipeline cameras (\d+) map (\d+) "
+                  r"ate-vs-local ([0-9.]+)% ate-vs-gt ([0-9.]+)% OK",
+                  outs[0])
+    if m and all(p_.returncode == 0 for p_ in procs):
+        results["two_process_pipeline"] = {
+            "cameras": int(m.group(1)),
+            "map_points": int(m.group(2)),
+            "ate_vs_local_pct_extent": float(m.group(3)),
+            "ate_vs_gt_pct_extent": float(m.group(4)),
+            "note": "full slam_main on a global 2-process mesh (ingest "
+                    "fan-out, matching, BA observation axis sharded one "
+                    "device per process); trajectory parity with each "
+                    "process's local single-device run",
+        }
+        print("two-process pipeline:", results["two_process_pipeline"],
+              flush=True)
+    else:
+        results["two_process_pipeline"] = {"error": outs[0][-300:]}
+
+
+def pipeline_only():
+    """Refresh only the two_process_pipeline entry of an existing
+    SCALING.json (the full harness re-measures everything)."""
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    with open(out) as f:
+        results = json.load(f)
+    run_two_process_pipeline(results)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
 if __name__ == "__main__":
-    main()
+    if "pipeline-only" in sys.argv[1:]:
+        pipeline_only()
+    else:
+        main()

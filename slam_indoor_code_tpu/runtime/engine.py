@@ -241,6 +241,21 @@ class DeviceEngine:
                                  np.asarray(t, np.float64).reshape(3))
 
     @staticmethod
+    def _host_np(x) -> np.ndarray:
+        """np.asarray that also handles cross-process sharded jax.Arrays:
+        on a mesh spanning OS processes the per-candidate match counts are
+        sharded over non-addressable devices, and fetching them needs the
+        collective allgather (every process calls this at the same point,
+        so the collective is globally consistent)."""
+        import jax
+
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    @staticmethod
     def _unpack(out: np.ndarray):
         ok, n_corr, n_inl, n_new, n_matches = out[:5]
         R = out[5:14].reshape(3, 3)
@@ -492,7 +507,7 @@ class DeviceEngine:
             self.cfg, self.state, jnp.asarray(order), jnp.asarray(mask))
         info = np.asarray(info)
         if self.logs:
-            cc = np.asarray(counts)[:n]
+            cc = self._host_np(counts)[:n]
             for bi in range(n - 1, self.cfg.skip_from_head - 1, -1):
                 self.logs.main.write(
                     f"Batch index: {bi}; matched {int(cc[bi])}\n")

@@ -267,3 +267,43 @@ def test_two_process_sharded_ba_solve():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert "cross-process BA cost" in out and "OK" in out, out[-2000:]
+
+
+def test_two_process_pipeline():
+    """The FULL product across two OS processes (SURVEY.md §5.8, execution-
+    complete): slam_main on a global 2-device mesh — one CPU device per
+    process — with ingest payloads landing pre-sharded, the candidate-match
+    fan-out and BA observation axis sharded, and XLA collectives crossing
+    the OS-process (DCN-path) boundary inside every tracking dispatch.
+    Each worker asserts trajectory parity against its own local
+    single-device run (scripts/_distributed_worker.py::pipeline_main)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "scripts", "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "pipeline", coord, "2", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=700)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2500:]}"
+        assert "two-process pipeline cameras" in out and "OK" in out, \
+            out[-2500:]
