@@ -484,6 +484,37 @@ def bench_headline_gba():
                         cfg_fn)
 
 
+def _bench_long(n_frames: int, metric: str):
+    """Quality frontier PAST the benchmark: 2-3x the benchmark length with
+    the final global refine ON (tpu.global_ba) — the long corridors drift
+    past the ATE bound without it (ROUND4.md long-sequence table: 14.3% at
+    384 frames windowed-only), and the refine is exactly the rebuild's own
+    accuracy machinery built for this.  The corridor length grows with
+    n_frames at fixed 1500 points, so the far tail is feature-sparse
+    (~340 corners/frame vs ~2200 at the start) — the adaptive extraction
+    gate (tpu.adaptive_fast_threshold) keeps admission alive there.
+    Reference anchor: src/main.cpp:89-101 — restarts are the reference's
+    ONLY drift mechanism; it has no machinery to hold a bound at all."""
+    import dataclasses
+
+    scene, frames = build_frames(n_frames)
+
+    def cfg_fn(out):
+        c = base_config(out)
+        return dataclasses.replace(
+            c, tpu=dataclasses.replace(c.tpu, global_ba=True))
+
+    return measured_e2e(scene, frames, f"long{n_frames}", metric, cfg_fn)
+
+
+def bench_long_256():
+    return _bench_long(256, "long_sequence_256")
+
+
+def bench_long_384():
+    return _bench_long(384, "long_sequence_384")
+
+
 # Suite order: microbenchmarks FIRST — after ~30 min of e2e runs the
 # long-lived process/relay measurably degrades small-kernel dispatch
 # (observed 27 -> 65 us/pair for the identical kernel mode run last vs in
@@ -495,6 +526,8 @@ MODES = {
     "headline_gba": bench_headline_gba,
     "orb": bench_orb_undistort,
     "4k": bench_4k,
+    "long_256": bench_long_256,
+    "long_384": bench_long_384,
 }
 
 

@@ -192,6 +192,16 @@ class TpuConfig:
     rebind_radius: float = 24.0     # re-binding reprojection gate, in
     #                                 FHD-equivalent px (scaled by actual
     #                                 image width at engine start)
+    restart_rebind: bool = True     # at a track-loss restart, re-bind the
+    #                                 new first frame to the RETAINED map
+    #                                 and rescale the bootstrap baseline to
+    #                                 the old sub-map's monocular scale
+    #                                 (|t|=1 re-seeding makes concatenated
+    #                                 sub-maps scale-discontinuous; the
+    #                                 reference restarts carry only the
+    #                                 pose, src/main.cpp:89-101).  Needs
+    #                                 rebind_cap > 0
+
     mesh_shape: tuple = ()          # () = single device; e.g. (2, 4) hosts×chips
     dtype: str = "float32"          # compute dtype for geometry (descriptors bf16-able)
     checkpoint_path: str = ""       # periodic run snapshot target (npz);

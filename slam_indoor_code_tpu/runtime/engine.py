@@ -552,11 +552,19 @@ class DeviceEngine:
                 self.cfg, self.state, jnp.asarray(slot, jnp.int32),
                 train, mask, self._next_key())
             self._release(slot)
-            ok, chir, n_pass, n_new, n_matches, R2, t2 = self._unpack(np.asarray(out))
+            out_np = np.asarray(out)
+            ok, chir, n_pass, n_new, n_matches, R2, t2 = self._unpack(out_np)
             self._trace("bootstrap: bootstrap_step done")
             if self.logs:
                 self.logs.main.write(
                     f"Points passed chirality check count: {chir}\n")
+                # restart-rescue audit trailer (steps.bootstrap_step): only
+                # logged when a retained-map re-bind actually fired
+                if out_np.shape[0] > 17 and out_np[18] > 0:
+                    self.logs.main.write(
+                        f"Restart re-bind: {int(out_np[18])} landmarks "
+                        f"shared with the retained map; bootstrap baseline "
+                        f"rescaled by {out_np[17]:.4f}\n")
             self._log_pose(np.asarray(init_R), np.asarray(init_t))
             self._log_pose(R2, t2)
             self.trajectory_R.extend([np.asarray(init_R, np.float64), R2])

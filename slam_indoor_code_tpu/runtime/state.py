@@ -94,6 +94,15 @@ class EngineConfig:
     # DeviceEngine.__init__ resolves the config-level FHD-equivalent value
     # (TpuConfig.rebind_radius) to actual px using the calibration.
     rebind_radius: float = 12.0
+    # restart-boundary re-binding (steps.bootstrap_step): at a track-loss
+    # restart, match the new first frame against the RETAINED map and (a)
+    # rescale the bootstrap baseline so the new sub-map's monocular scale
+    # agrees with the old one (|t|=1 re-seeding teleports the concatenated
+    # trajectory — measured 43-unit jumps at 384-frame restart boundaries),
+    # (b) share the matched landmarks across the sub-map boundary.  Needs
+    # rebind_cap > 0; no reference counterpart (src/main.cpp:89-101 carries
+    # only the pose)
+    restart_rebind: bool = True
     use_ba: bool = False
     ba_loss: str = "huber"
     ba_loss_param: float = 1.0
@@ -147,6 +156,7 @@ class EngineConfig:
             mesh_shape=tuple(cfg.tpu.mesh_shape),
             rebind_cap=cfg.tpu.rebind_cap,
             rebind_radius=float(cfg.tpu.rebind_radius),
+            restart_rebind=cfg.tpu.restart_rebind,
             use_undistortion=cfg.useUndistortion,
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,

@@ -355,20 +355,90 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
     # are frozen anchors from here on (win_map_base = pre-append count)
     state = state._replace(win_map_base=state.map_count)
     chir = pose["chirality_mask"]
-    R2, t2 = compose_with_world(state.pose_R, state.pose_t, pose["R"], pose["t"])
+    R1, t1 = state.pose_R, state.pose_t
+    R2, t2 = compose_with_world(R1, t1, pose["R"], pose["t"])
 
-    X = reconstruct(K, state.pose_R, state.pose_t, R2, t2, uv1, uv2, chir)
+    X = reconstruct(K, R1, t1, R2, t2, uv1, uv2, chir)
+    K_slots = uv1.shape[0]
+
+    # ---- restart-boundary re-binding + monocular-scale rescue -----------
+    # recoverPose's |t_rel| = 1 re-seeds the new sub-map's scale arbitrarily
+    # at every track-loss restart; the concatenated trajectory then jumps at
+    # the boundary (measured: one 43-unit teleport at a 384-frame corridor
+    # restart vs 0.25-unit true steps).  The map arena RETAINS the old
+    # sub-map, so: match the first frame's features against old landmarks
+    # projected under the carried pose (the last good pose — exactly where
+    # these features were just seen), estimate the depth ratio old/new per
+    # match, rescale the baseline by its masked median, and SHARE the
+    # matched landmarks across the boundary instead of duplicating them.
+    # The first bootstrap (empty map) and match-less restarts reduce to the
+    # reference behaviour arithmetically (s = 1, no binds).
+    bind = jnp.zeros((K_slots,), bool)
+    old_row_ids = jnp.full((K_slots,), -1, jnp.int32)
+    scale_s = jnp.float32(1.0)
+    n_bind = jnp.int32(0)
+    if cfg.rebind_cap > 0 and cfg.restart_rebind:
+        from ..ops import knn as _knn
+
+        Mr = cfg.rebind_cap
+        stride_n = jnp.maximum(state.map_count, Mr)
+        cand_ids = ((jnp.arange(Mr, dtype=jnp.int32)
+                     * stride_n) // Mr).astype(jnp.int32)
+        cand_real = cand_ids < state.map_count
+        cand_X = state.map_points[cand_ids]
+        cand_desc = state.map_desc[cand_ids]
+        Xc1 = cand_X @ R1.T + t1
+        pix = Xc1 @ K.T
+        safe = jnp.where(jnp.abs(pix[:, 2:3]) < 1e-9, 1e-9, pix[:, 2:3])
+        pc = pix[:, :2] / safe
+        d = _knn.distance_matrix(state.prev_desc, cand_desc, cfg.metric)
+        # the camera kept moving through the lost frames, so the projection
+        # gate is 4x the steady-state re-bind radius
+        rad = 4.0 * cfg.rebind_radius
+        pixd2 = jnp.sum((uv1[:, None, :] - pc[None, :, :]) ** 2, -1)
+        allowed = (cand_real & (Xc1[:, 2] > 0))[None, :] & (pixd2 < rad * rad)
+        dm = jnp.where(allowed, d, _knn.BIG)
+        bestc = jnp.argmin(dm, axis=1)
+        d1 = jnp.take_along_axis(dm, bestc[:, None], 1)[:, 0]
+        d2 = (dm + jax.nn.one_hot(bestc, Mr, dtype=dm.dtype) * _knn.BIG
+              ).min(axis=1)
+        ratio = cfg.ratio * cfg.ratio if cfg.metric == "l2" else cfg.ratio
+        ok_r = (d1 < ratio * d2) & (d2 < _knn.BIG / 2)
+        bind = state.prev_valid & ok_r
+        old_row_ids = jnp.where(bind, cand_ids[bestc], -1)
+        z_old = Xc1[bestc, 2]
+        z_new = (X @ R1.T + t1)[:, 2]
+        r_ok = bind & chir & (z_new > 1e-6) & (z_old > 1e-6)
+        ratios = jnp.where(r_ok, z_old / jnp.maximum(z_new, 1e-6), _knn.BIG)
+        n_r = r_ok.sum(dtype=jnp.int32)
+        srt = jnp.sort(ratios)
+        med = srt[jnp.clip(n_r // 2, 0, K_slots - 1)]
+        scale_s = jnp.where(n_r >= 8, jnp.clip(med, 0.05, 20.0), 1.0)
+        # rescale-consistent binds only: a bind whose depth ratio disagrees
+        # with the consensus scale is a mismatch and would poison PnP
+        inlier = jnp.abs(ratios - scale_s) < 0.25 * scale_s
+        bind = bind & jnp.where(r_ok.any(), ~r_ok | inlier, True)
+        old_row_ids = jnp.where(bind, old_row_ids, -1)
+        n_bind = bind.sum(dtype=jnp.int32)
+        # apply the scale: baseline and triangulated points scale together
+        # around the first camera's center
+        t2 = pose["R"] @ t1 + scale_s * pose["t"]
+        C1 = -R1.T @ t1
+        X = C1 + scale_s * (X - C1)
+
     colors = state.ring_colors[slot][train_s]
     desc_new = state.ring_desc[slot][train_s]
-    state, ids, n_new = _append_points(state, X, colors, desc_new, chir)
+    add_mask = chir & ~bind
+    state, ids, n_new = _append_points(state, X, colors, desc_new, add_mask)
 
-    K_slots = uv1.shape[0]
     q = jnp.arange(K_slots)
-    first_corr = jnp.full((K_slots,), -1, jnp.int32).at[q].set(
-        jnp.where(chir, ids, -1))
+    row_corr = jnp.where(bind, old_row_ids,
+                         jnp.where(add_mask, ids, -1))
+    first_corr = jnp.full((K_slots,), -1, jnp.int32).at[q].set(row_corr)
+    row_ok = bind | add_mask
     second_corr = jnp.full((K_slots,), -1, jnp.int32).at[
-        jnp.where(chir, train_s, K_slots)
-    ].set(jnp.where(chir, ids, -1), mode="drop")
+        jnp.where(row_ok & mask, train_s, K_slots)
+    ].set(jnp.where(row_ok & mask, row_corr, -1), mode="drop")
 
     aa1 = matrix_to_rodrigues(state.pose_R)
     aa2 = matrix_to_rodrigues(R2)
@@ -402,8 +472,14 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         pose_t=t2,
         win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
     )
-    out = _pose_out(jnp.asarray(True), chir.sum(), pose["num_passed"],
-                    n_new, mask.sum(), R2, t2)
+    # two extra trailer entries (restart-rescue audit: consensus scale +
+    # shared-landmark count) — _unpack reads only the first 17, so the
+    # trailer is backward compatible
+    out = jnp.concatenate([
+        _pose_out(jnp.asarray(True), chir.sum(), pose["num_passed"],
+                  n_new, mask.sum(), R2, t2),
+        jnp.stack([scale_s, n_bind.astype(jnp.float32)]),
+    ])
     return state, out
 
 

@@ -753,3 +753,101 @@ def test_head_tie_tolerance_prefers_head():
                            jnp.asarray([5000, 100, 40], jnp.int32),
                            jnp.arange(3, dtype=jnp.int32)))
     assert got == 1
+
+
+def test_restart_rebind_rescues_scale(rt_scene):
+    """Restart-boundary re-binding (steps.bootstrap_step): at a track-loss
+    restart the new first frame re-binds to the RETAINED map and the
+    bootstrap baseline is rescaled from the matched depth ratios — the
+    |t_rel|=1 re-seeding otherwise gives the new sub-map an arbitrary
+    monocular scale (measured: a 43-unit teleport at a 384-frame corridor
+    restart).  This drives the restart path directly with a DOUBLE-length
+    restart baseline and asserts the consensus scale tracks the map's own
+    local step scale."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from slam_indoor_code_tpu.io.media import ArraySource
+    from slam_indoor_code_tpu.metrics.ate import camera_centers
+    from slam_indoor_code_tpu.models import frontend as fe
+    from slam_indoor_code_tpu.runtime import DeviceEngine, EngineConfig, steps
+    from slam_indoor_code_tpu.testing import make_scene
+
+    scene = make_scene(n_points=900, n_frames=48, seed=5, baseline=0.3)
+    cfg = EngineConfig(max_keypoints=512, ransac_iters=256, pnp_iters=128,
+                      window_points=4096, rebind_cap=4096,
+                      required_matched=30, ratio=0.8,
+                      distance_threshold=500.0, use_ba=True, window=6,
+                      ba_loss="huber", ba_loss_param=2.0, ba_iters=12)
+    eng = DeviceEngine(ArraySource([scene.render(i) for i in range(12)]),
+                       scene.K, cfg, batch_size=6, required_extracted=80)
+    r = eng.run(np.eye(3), np.zeros(3))
+    assert r["status"] == "video_over" and int(eng.state.map_count) > 200
+    carried_R = np.asarray(eng.state.pose_R)
+    carried_t = np.asarray(eng.state.pose_t)
+    # the map's own LOCAL step scale at the boundary (map units per frame;
+    # median over the last few steps — single monocular steps are noisy)
+    c = camera_centers(np.stack(eng.trajectory_R), np.stack(eng.trajectory_t))
+    d_est = np.linalg.norm(np.diff(c, axis=0), axis=1)
+    last_step = float(np.median(d_est[-4:]))
+
+    # simulated restart: first frame = scene 12 (adjacent to the carried
+    # pose), second = scene 14 — a restart pair spanning TWO true steps
+    gray, small = fe.pack_frames([scene.render(12), scene.render(14)],
+                                 cfg.color_downscale)
+    slots = jnp.asarray(np.array(eng._free[:2], np.int32))
+    eng.state, counts = steps.ingest(eng.cfg, eng.state, jnp.asarray(gray),
+                                     jnp.asarray(small), slots)
+    eng.state = steps.set_prev_from_slot(
+        eng.cfg, eng.state, slots[0], jnp.asarray(carried_R, jnp.float32),
+        jnp.asarray(carried_t, jnp.float32))
+    B = eng.batch_size + max(eng.cfg.fill_chunk, eng.cfg.window)
+    order = np.zeros(B, np.int32)
+    order[0] = int(slots[1])
+    omask = np.zeros(B, bool)
+    omask[0] = True
+    train_all, mask_all, info, cnts = steps.match_select(
+        eng.cfg, eng.state, jnp.asarray(order), jnp.asarray(omask))
+    assert int(np.asarray(cnts)[0]) >= 30
+
+    # bootstrap_step donates its state operand: keep copies so both the
+    # knob-on and knob-off variants see the identical input state
+    import jax as _jax
+
+    keep = _jax.tree_util.tree_map(lambda x: jnp.array(x), eng.state)
+    state2, out = steps.bootstrap_step(eng.cfg, eng.state, slots[1],
+                                       train_all[0], mask_all[0],
+                                       jr.PRNGKey(0))
+    out = np.asarray(out)
+    scale_s, n_bind = float(out[17]), int(out[18])
+    assert n_bind >= 20, f"only {n_bind} restart binds"
+    # consensus scale == the restart step in map units (|t_rel| = 1); it
+    # must track ~2x the map's own local per-frame step
+    # generous band: the BA-off gauge wobble of short monocular runs is
+    # real; what matters is that the scale is MEASURED from the retained
+    # map (two true steps of the map's local gauge), not re-seeded at 1
+    expect = 2.0 * last_step
+    assert abs(scale_s - expect) < 0.5 * expect, (scale_s, expect)
+    # shared landmarks are NOT duplicated: bound rows are excluded from
+    # the append, so strictly fewer landmarks are created than chirality
+    # alone would admit (binds also cover non-chirality rows, so the two
+    # counts don't decompose exactly)
+    chir, n_new = int(out[1]), int(out[3])
+    assert n_new < chir, (n_new, chir, n_bind)
+    # and the actual restart camera lands ~2 local steps from the boundary
+    R2 = out[5:14].reshape(3, 3)
+    t2 = out[14:17]
+    c_prev = -carried_R.T @ carried_t
+    c_new = -R2.T @ t2
+    step = float(np.linalg.norm(c_new - c_prev))
+    assert abs(step - expect) < 0.5 * expect, (step, expect)
+
+    # knob off: reference behaviour (s = 1, nothing shared)
+    import dataclasses
+
+    cfg_off = dataclasses.replace(eng.cfg, restart_rebind=False)
+    _s, out_off = steps.bootstrap_step(cfg_off, keep, slots[1],
+                                       train_all[0], mask_all[0],
+                                       jr.PRNGKey(0))
+    out_off = np.asarray(out_off)
+    assert out_off[17] == 1.0 and out_off[18] == 0
