@@ -192,6 +192,13 @@ class TpuConfig:
     rebind_radius: float = 24.0     # re-binding reprojection gate, in
     #                                 FHD-equivalent px (scaled by actual
     #                                 image width at engine start)
+    pose_jump_gate: float = 32.0    # reject a PnP pose whose camera center
+    #                                 moved more than this factor times the
+    #                                 EMA of accepted step lengths (0=off):
+    #                                 a consensused-but-catastrophic PnP
+    #                                 otherwise teleports the camera and
+    #                                 corrupts the whole tail.  Far above
+    #                                 any legitimate batch-skip span
     restart_rebind: bool = True     # at a track-loss restart, re-bind the
     #                                 new first frame to the RETAINED map
     #                                 and rescale the bootstrap baseline to

@@ -79,6 +79,11 @@ def load_checkpoint(path: str, engine) -> None:
             if k == "win_map_base":
                 fields[k] = jnp.zeros((), jnp.int32)
                 continue
+            if k == "step_ema":
+                # pre-v5 snapshot: 0 = unknown (pose-jump gate re-seeds at
+                # the next accepted step)
+                fields[k] = jnp.zeros((), jnp.float32)
+                continue
             if k == "prev_anchor_xy":
                 fields[k] = jnp.asarray(data["state_prev_xy"], jnp.float32)
                 continue

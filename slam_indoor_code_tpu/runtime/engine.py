@@ -558,13 +558,16 @@ class DeviceEngine:
             if self.logs:
                 self.logs.main.write(
                     f"Points passed chirality check count: {chir}\n")
-                # restart-rescue audit trailer (steps.bootstrap_step): only
-                # logged when a retained-map re-bind actually fired
-                if out_np.shape[0] > 17 and out_np[18] > 0:
+                # restart-rescue audit trailer (steps.bootstrap_step):
+                # logged at every restart (retained map non-empty), with
+                # the per-gate funnel so a non-firing rescue is auditable
+                if out_np.shape[0] > 17 and out_np[21] > 0:
                     self.logs.main.write(
                         f"Restart re-bind: {int(out_np[18])} landmarks "
-                        f"shared with the retained map; bootstrap baseline "
-                        f"rescaled by {out_np[17]:.4f}\n")
+                        f"shared with the retained map "
+                        f"(radius-pass {int(out_np[19])}, ratio-pass "
+                        f"{int(out_np[20])}, map {int(out_np[21])}); "
+                        f"bootstrap baseline rescaled by {out_np[17]:.4f}\n")
             self._log_pose(np.asarray(init_R), np.asarray(init_t))
             self._log_pose(R2, t2)
             self.trajectory_R.extend([np.asarray(init_R, np.float64), R2])

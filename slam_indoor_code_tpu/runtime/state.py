@@ -103,6 +103,14 @@ class EngineConfig:
     # rebind_cap > 0; no reference counterpart (src/main.cpp:89-101 carries
     # only the pose)
     restart_rebind: bool = True
+    # pose-jump gate (steps._track_core): reject a PnP pose whose camera
+    # center moved more than this factor times the EMA of accepted step
+    # lengths (0 = off).  A catastrophic-but-consensused PnP solution
+    # otherwise teleports the camera and corrupts the whole tail (measured:
+    # a 43-unit accepted jump vs 0.25-unit true steps on the 384-frame
+    # corridor).  The factor is far above any legitimate skip span (the
+    # scheduler consumes at most a batch of candidates per accept).
+    pose_jump_gate: float = 32.0
     use_ba: bool = False
     ba_loss: str = "huber"
     ba_loss_param: float = 1.0
@@ -157,6 +165,7 @@ class EngineConfig:
             rebind_cap=cfg.tpu.rebind_cap,
             rebind_radius=float(cfg.tpu.rebind_radius),
             restart_rebind=cfg.tpu.restart_rebind,
+            pose_jump_gate=float(cfg.tpu.pose_jump_gate),
             use_undistortion=cfg.useUndistortion,
             required_matched=cfg.requiredMatchedPointsCount,
             skip_from_head=cfg.skipFramesFromBatchHead,
@@ -224,6 +233,12 @@ class TrackerState(NamedTuple):
     # (they anchor the cameras; ba_step only moves window-born landmarks)
     win_map_base: jnp.ndarray  # () i32
 
+    # EMA of accepted camera-center step lengths (map units) — feeds the
+    # pose-jump gate (steps._track_core): a PnP solution teleporting the
+    # camera far beyond the recent motion scale is rejected instead of
+    # corrupting everything downstream.  0 = unknown (gate inactive)
+    step_ema: jnp.ndarray      # () f32
+
 
 def init_state(K: np.ndarray, cfg: EngineConfig,
                dist: np.ndarray | None = None) -> TrackerState:
@@ -256,4 +271,5 @@ def init_state(K: np.ndarray, cfg: EngineConfig,
         win_cams=jnp.zeros((window, 6), f32),
         win_used=jnp.zeros((window,), bool),
         win_map_base=jnp.zeros((), jnp.int32),
+        step_ema=jnp.zeros((), f32),
     )

@@ -377,6 +377,8 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
     old_row_ids = jnp.full((K_slots,), -1, jnp.int32)
     scale_s = jnp.float32(1.0)
     n_bind = jnp.int32(0)
+    n_rad = jnp.int32(0)    # features with >=1 old candidate in the radius
+    n_okr = jnp.int32(0)    # ... that also passed the descriptor ratio test
     if cfg.rebind_cap > 0 and cfg.restart_rebind:
         from ..ops import knn as _knn
 
@@ -404,21 +406,32 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
               ).min(axis=1)
         ratio = cfg.ratio * cfg.ratio if cfg.metric == "l2" else cfg.ratio
         ok_r = (d1 < ratio * d2) & (d2 < _knn.BIG / 2)
-        bind = state.prev_valid & ok_r
-        old_row_ids = jnp.where(bind, cand_ids[bestc], -1)
+        # LONE candidates (no second neighbor in the radius — the norm on a
+        # feature-sparse retained map, where the steady-state re-bind's
+        # strict ratio test finds nothing) may VOTE: the depth-ratio
+        # consensus below is itself the verifier — wrong matches scatter
+        # their ratios, genuine ones agree, and only consensus inliers bind
+        near = d1 < _knn.BIG / 2
+        vote = state.prev_valid & near
+        n_rad = vote.sum(dtype=jnp.int32)
+        n_okr = (state.prev_valid & ok_r).sum(dtype=jnp.int32)
+        old_best = cand_ids[bestc]
         z_old = Xc1[bestc, 2]
         z_new = (X @ R1.T + t1)[:, 2]
-        r_ok = bind & chir & (z_new > 1e-6) & (z_old > 1e-6)
+        r_ok = vote & chir & (z_new > 1e-6) & (z_old > 1e-6)
         ratios = jnp.where(r_ok, z_old / jnp.maximum(z_new, 1e-6), _knn.BIG)
         n_r = r_ok.sum(dtype=jnp.int32)
         srt = jnp.sort(ratios)
         med = srt[jnp.clip(n_r // 2, 0, K_slots - 1)]
-        scale_s = jnp.where(n_r >= 8, jnp.clip(med, 0.05, 20.0), 1.0)
-        # rescale-consistent binds only: a bind whose depth ratio disagrees
-        # with the consensus scale is a mismatch and would poison PnP
-        inlier = jnp.abs(ratios - scale_s) < 0.25 * scale_s
-        bind = bind & jnp.where(r_ok.any(), ~r_ok | inlier, True)
-        old_row_ids = jnp.where(bind, old_row_ids, -1)
+        inlier = r_ok & (jnp.abs(ratios - med) < 0.25 * med)
+        n_in = inlier.sum(dtype=jnp.int32)
+        # all-or-nothing: apply the scale and the binds only when enough
+        # votes exist AND a majority agrees — otherwise fall back to the
+        # reference behaviour (s = 1, nothing shared)
+        consensus = (n_r >= 8) & (n_in >= (n_r + 1) // 2)
+        scale_s = jnp.where(consensus, jnp.clip(med, 0.05, 20.0), 1.0)
+        bind = inlier & consensus
+        old_row_ids = jnp.where(bind, old_best, -1)
         n_bind = bind.sum(dtype=jnp.int32)
         # apply the scale: baseline and triangulated points scale together
         # around the first camera's center
@@ -471,6 +484,10 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         pose_R=R2,
         pose_t=t2,
         win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
+        # seed the pose-jump gate's motion scale with the bootstrap
+        # baseline (slightly loose if the pair spans >1 source frame —
+        # the EMA tightens within a few accepted steps)
+        step_ema=jnp.linalg.norm((-R2.T @ t2) - (-R1.T @ t1)),
     )
     # two extra trailer entries (restart-rescue audit: consensus scale +
     # shared-landmark count) — _unpack reads only the first 17, so the
@@ -478,7 +495,9 @@ def bootstrap_step(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
     out = jnp.concatenate([
         _pose_out(jnp.asarray(True), chir.sum(), pose["num_passed"],
                   n_new, mask.sum(), R2, t2),
-        jnp.stack([scale_s, n_bind.astype(jnp.float32)]),
+        jnp.stack([scale_s, n_bind.astype(jnp.float32),
+                   n_rad.astype(jnp.float32), n_okr.astype(jnp.float32),
+                   state.win_map_base.astype(jnp.float32)]),
     ])
     return state, out
 
@@ -509,6 +528,18 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
                            reproj_threshold_px=cfg.reproj_gate_px,
                            prior_R=state.pose_R, prior_t=state.pose_t)
     Rn, tn = pnp["R"], pnp["t"]
+
+    # pose-jump gate: a PnP solution that teleports the camera far beyond
+    # the recent motion scale (EMA of accepted steps) is a consensus over
+    # degenerate geometry, not motion — reject the frame (ok=False breaks
+    # the scan; the restart then carries the LAST GOOD pose, which is what
+    # the restart re-bind needs to re-anchor).  Measured: one accepted
+    # 43-unit jump vs 0.25-unit steps bent a 384-frame corridor's tail from
+    # ~2% to 9-14% ATE.  step_ema==0 (no history yet) leaves the gate open.
+    step_len = jnp.linalg.norm((-Rn.T @ tn) - (-state.pose_R.T @ state.pose_t))
+    if cfg.pose_jump_gate > 0:
+        ok = ok & ((state.step_ema <= 0)
+                   | (step_len <= cfg.pose_jump_gate * state.step_ema + 1e-3))
 
     # triangulate all matches — against each track's ANCHOR view (delayed
     # triangulation) or, classically, against the adjacent prev frame.
@@ -695,6 +726,9 @@ def _track_core(cfg: EngineConfig, state: TrackerState, slot: jnp.ndarray,
         prev_anchor_xy=g(anchor_xy_new, state.prev_anchor_xy),
         pose_R=g(Rn, state.pose_R), pose_t=g(tn, state.pose_t),
         win_xy=win_xy, win_corr=win_corr, win_cams=win_cams, win_used=win_used,
+        step_ema=g(jnp.where(state.step_ema > 0,
+                             0.7 * state.step_ema + 0.3 * step_len,
+                             step_len), state.step_ema),
     )
 
     out = _pose_out(ok, n_corr, pnp["num_inliers"], n_new, mask.sum(), Rn, tn)
