@@ -210,6 +210,17 @@ def _unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
 # the MXU work ~20:1.  One launch with a leading batch grid axis amortizes
 # it: grid (B, N/TN, M/TM), j innermost so the running top-2 accumulates
 # across M tiles exactly like the pair kernel.
+#
+# Round-5 decomposition (B-sweep inside one scan, same relay window:
+# B=2→629 us, 4→731, 8→784, 16→901 per launch): the per-GRID-STEP marginal
+# cost is ~9.7 us — within ~2x of the 4.8 us/step speed-of-light share —
+# while the extrapolated steps→0 intercept is ~590 us of per-LAUNCH
+# machinery (65% of the whole launch).  The kernel is launch-bound, not
+# tile-bound: closing further toward the 9.6 us/pair SoL model needs fewer
+# launches, not better tiles.  The `lanes_per_block` variant below was
+# built to test the step-overhead hypothesis and LOSES (python-for over
+# lanes serializes the merges; >2 lanes at product tiles exceeds VMEM) —
+# kept off by default as the documented negative result.
 
 def _l2_kernel_b(a_ref, b_ref, bmask_ref, d1_ref, i1_ref, d2_ref):
     j = pl.program_id(2)
@@ -239,12 +250,49 @@ def _l2_kernel_b(a_ref, b_ref, bmask_ref, d1_ref, i1_ref, d2_ref):
     d2_ref[:] = jnp.broadcast_to(d2, (1, d2.shape[0], lanes))
 
 
+def _l2_kernel_b_multi(lpb, a_ref, b_ref, bmask_ref, d1_ref, i1_ref, d2_ref):
+    """Multi-lane batched kernel: each grid step processes ``lpb`` candidate
+    lanes against the shared query tile.  At the product shapes the M-tile
+    loop is a SINGLE step, so the per-grid-step fixed cost (Mosaic loop
+    machinery + block DMA latency) dominates the 2.7 us of MXU work — doing
+    lpb lanes' matmuls+merges per step amortizes it (measured: see
+    BENCH_SUITE kernel entry)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        d1_ref[:] = jnp.full_like(d1_ref, BIG)
+        d2_ref[:] = jnp.full_like(d2_ref, BIG)
+        i1_ref[:] = jnp.zeros_like(i1_ref)
+
+    a = a_ref[:]                      # [TN,D] bf16
+    a2 = jnp.sum(a.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    lanes = d1_ref.shape[2]
+    for l in range(lpb):
+        b = b_ref[l]                  # [TM,D] bf16
+        ab = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        tile = jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+        tile = jnp.where(bmask_ref[l, 0:1, :], tile, BIG)
+        d1, i1, d2 = _merge_top2(
+            d1_ref[l, :, 0:1], i1_ref[l, :, 0:1], d2_ref[l, :, 0:1],
+            tile, j * tile.shape[1])
+        d1_ref[l] = jnp.broadcast_to(d1, (d1.shape[0], lanes))
+        i1_ref[l] = jnp.broadcast_to(i1, (i1.shape[0], lanes))
+        d2_ref[l] = jnp.broadcast_to(d2, (d2.shape[0], lanes))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("metric", "interpret", "tn", "tm"))
+                   static_argnames=("metric", "interpret", "tn", "tm",
+                                    "lanes_per_block"))
 def top2_pallas_batch(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                       valid_b: jnp.ndarray, metric: str = "l2",
                       interpret: bool = False,
-                      tn: int | None = None, tm: int | None = None):
+                      tn: int | None = None, tm: int | None = None,
+                      lanes_per_block: int = 1):
     """Fused 2-NN of ONE query set against B candidate sets in ONE kernel
     launch: desc_a [N,D], desc_b [B,M,D], valid_b [B,M] →
     (d1 [B,N], idx1 [B,N], d2 [B,N]).  Same semantics per batch lane as
@@ -275,28 +323,36 @@ def top2_pallas_batch(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     if pad_m:
         b = jnp.pad(b, ((0, 0), (0, pad_m), (0, 0)))
     vmask = jnp.pad(valid_b, ((0, 0), (0, pad_m)), constant_values=False)
+    lpb = lanes_per_block
+    if lpb > 1 and b.shape[0] % lpb:
+        pad_b = (-b.shape[0]) % lpb
+        b = jnp.pad(b, ((0, pad_b), (0, 0), (0, 0)))
+        vmask = jnp.pad(vmask, ((0, pad_b), (0, 0)), constant_values=False)
     N, D = a.shape
     B, M = vmask.shape
+    B_real = valid_b.shape[0]
     vmask3d = jnp.broadcast_to(vmask[:, None, :], (B, 8, M))
 
-    grid = (B, N // tn, M // tm)
+    grid = (B // lpb, N // tn, M // tm)
+    kern = (functools.partial(_l2_kernel_b_multi, lpb) if lpb > 1
+            else kernel)
     d1, i1, d2 = pl.pallas_call(
-        kernel,
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, D), lambda bb, i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, D), lambda bb, i, j: (bb, j, 0),
+            pl.BlockSpec((lpb, tm, D), lambda bb, i, j: (bb, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tm), lambda bb, i, j: (bb, 0, j),
+            pl.BlockSpec((lpb, 8, tm), lambda bb, i, j: (bb, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tn, LANE), lambda bb, i, j: (bb, i, 0),
+            pl.BlockSpec((lpb, tn, LANE), lambda bb, i, j: (bb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn, LANE), lambda bb, i, j: (bb, i, 0),
+            pl.BlockSpec((lpb, tn, LANE), lambda bb, i, j: (bb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn, LANE), lambda bb, i, j: (bb, i, 0),
+            pl.BlockSpec((lpb, tn, LANE), lambda bb, i, j: (bb, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -306,4 +362,4 @@ def top2_pallas_batch(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
         ],
         interpret=interpret,
     )(a, b, vmask3d)
-    return (d1[:, :n, 0], i1[:, :n, 0], d2[:, :n, 0])
+    return (d1[:B_real, :n, 0], i1[:B_real, :n, 0], d2[:B_real, :n, 0])

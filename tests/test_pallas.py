@@ -107,3 +107,23 @@ def test_batched_top2_hamming_matches_reference(rng):
         d_ref = np.asarray(knn.hamming_distance(a, b[bb]))
         np.testing.assert_array_equal(np.asarray(i1[bb]), d_ref.argmin(1))
         np.testing.assert_array_equal(np.asarray(d1[bb]), d_ref.min(1))
+
+
+def test_batched_multi_lane_kernel_parity(rng):
+    """lanes_per_block > 1 (the launch-overhead experiment, kept off by
+    default) matches the single-lane batched kernel exactly, including the
+    lane padding path (B not divisible by lpb)."""
+    import jax.numpy as jnp
+
+    from slam_indoor_code_tpu.ops.pallas_kernels import top2_pallas_batch
+
+    a = jnp.asarray(rng.normal(size=(200, 128)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6, 300, 128)), jnp.float32)
+    vb = jnp.asarray(rng.random((6, 300)) > 0.1)
+    ref = top2_pallas_batch(a, b, vb, metric="l2", interpret=True)
+    for lpb in (2, 4):
+        got = top2_pallas_batch(a, b, vb, metric="l2", interpret=True,
+                                lanes_per_block=lpb)
+        for x, y in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5)
