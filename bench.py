@@ -133,7 +133,7 @@ def measured_e2e(scene, frames, outtag, metric, cfg_fn, baseline_fps=3.0):
     warmup_s = time.perf_counter() - t0
     log(f"[{outtag}] warm-up took {warmup_s:.1f}s")
 
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     best = None
     rep_fps = []
     for rep in range(reps):
