@@ -851,3 +851,68 @@ def test_restart_rebind_rescues_scale(rt_scene):
                                        jr.PRNGKey(0))
     out_off = np.asarray(out_off)
     assert out_off[17] == 1.0 and out_off[18] == 0
+
+
+def test_pose_jump_gate_rejects_teleport(rt_scene):
+    """The pose-jump gate (tpu.pose_jump_gate): a PnP pose far beyond the
+    EMA motion scale is rejected (frame not accepted, pose untouched);
+    gate=0 disables; a fresh EMA (0) leaves the gate open.  Driven through
+    _track_core by shrinking the engine's step EMA under a normal step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from slam_indoor_code_tpu.io.media import ArraySource
+    from slam_indoor_code_tpu.models import frontend as fe
+    from slam_indoor_code_tpu.runtime import DeviceEngine, EngineConfig, steps
+
+    cfg = EngineConfig(max_keypoints=512, ransac_iters=256, pnp_iters=128,
+                      window_points=4096, rebind_cap=0,
+                      required_matched=30, ratio=0.8,
+                      distance_threshold=500.0, use_ba=False)
+    frames = [rt_scene.render(i) for i in range(8)]
+    eng = DeviceEngine(ArraySource(frames), rt_scene.K, cfg, batch_size=6,
+                       required_extracted=80)
+    r = eng.run(np.eye(3), np.zeros(3))
+    assert r["status"] == "video_over" and len(r["global_data"].rotations) == 8
+
+    # stage one more frame and track it under a poisoned (tiny) EMA: the
+    # normal ~1-map-unit step now reads as a >32x teleport and must reject
+    gray, small = fe.pack_frames([rt_scene.render(8)], cfg.color_downscale)
+    gray = np.repeat(gray, cfg.fill_chunk, 0)
+    small = np.repeat(small, cfg.fill_chunk, 0)
+    slots = jnp.asarray(np.array(eng._free[:cfg.fill_chunk], np.int32))
+    eng.state, _ = steps.ingest(eng.cfg, eng.state, jnp.asarray(gray),
+                                jnp.asarray(small), slots)
+    B = eng.batch_size + max(eng.cfg.fill_chunk, eng.cfg.window)
+    order = np.zeros(B, np.int32)
+    order[0] = int(slots[0])
+    omask = np.zeros(B, bool)
+    omask[0] = True
+    train_all, mask_all, info, cnts = steps.match_select(
+        eng.cfg, eng.state, jnp.asarray(order), jnp.asarray(omask))
+    assert int(np.asarray(cnts)[0]) >= 30
+
+    def track(state, c):
+        keep = jax.tree_util.tree_map(jnp.array, state)
+        s2, out = steps.track_step(c, keep, slots[0], train_all, mask_all,
+                                   jnp.asarray(0), jnp.asarray(0, jnp.int32),
+                                   jr.PRNGKey(1))
+        return s2, np.asarray(out)
+
+    poisoned = eng.state._replace(step_ema=jnp.asarray(1e-5, jnp.float32))
+    _s, out = track(poisoned, eng.cfg)
+    assert out[0] < 0.5, "teleporting step must be rejected"
+    # pose untouched on rejection
+    np.testing.assert_array_equal(np.asarray(_s.pose_t),
+                                  np.asarray(eng.state.pose_t))
+    # gate off: the same step is accepted
+    cfg_off = dataclasses.replace(eng.cfg, pose_jump_gate=0.0)
+    _s2, out2 = track(poisoned, cfg_off)
+    assert out2[0] > 0.5
+    # fresh EMA (0 = no history): gate open, accepted
+    fresh = eng.state._replace(step_ema=jnp.zeros((), jnp.float32))
+    _s3, out3 = track(fresh, eng.cfg)
+    assert out3[0] > 0.5
