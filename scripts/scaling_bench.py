@@ -295,12 +295,12 @@ def main():
     print("wrote", out)
 
 
-def run_two_process_pipeline(results: dict) -> None:
-    """The FULL slam_main across two OS processes (worker `pipeline` mode):
-    global 2-device mesh, ingest fan-out + matching + BA observation axis
-    sharded one-device-per-process, trajectory parity asserted against each
-    process's local single-device run.  Also pinned by
-    tests/test_parallel.py::test_two_process_pipeline."""
+def run_two_process_pipeline(results: dict, nproc: int = 2) -> None:
+    """The FULL slam_main across ``nproc`` OS processes (worker `pipeline`
+    mode): global nproc-device mesh, ingest fan-out + matching + BA
+    observation axis sharded one-device-per-process, trajectory parity
+    asserted against each process's local single-device run.  Also pinned
+    by tests/test_parallel.py::test_two_process_pipeline."""
     import re
     import socket
     import subprocess
@@ -314,10 +314,10 @@ def run_two_process_pipeline(results: dict) -> None:
     env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
     procs = [subprocess.Popen(
-        [sys.executable, worker, "pipeline", f"127.0.0.1:{port}", "2",
-         str(i)],
+        [sys.executable, worker, "pipeline", f"127.0.0.1:{port}",
+         str(nproc), str(i)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
-        for i in range(2)]
+        for i in range(nproc)]
     outs = []
     for p_ in procs:
         try:
@@ -328,21 +328,22 @@ def run_two_process_pipeline(results: dict) -> None:
     m = re.search(r"two-process pipeline cameras (\d+) map (\d+) "
                   r"ate-vs-local ([0-9.]+)% ate-vs-gt ([0-9.]+)% OK",
                   outs[0])
+    key = ("two_process_pipeline" if nproc == 2
+           else f"{('four' if nproc == 4 else str(nproc))}_process_pipeline")
     if m and all(p_.returncode == 0 for p_ in procs):
-        results["two_process_pipeline"] = {
+        results[key] = {
             "cameras": int(m.group(1)),
             "map_points": int(m.group(2)),
             "ate_vs_local_pct_extent": float(m.group(3)),
             "ate_vs_gt_pct_extent": float(m.group(4)),
-            "note": "full slam_main on a global 2-process mesh (ingest "
-                    "fan-out, matching, BA observation axis sharded one "
-                    "device per process); trajectory parity with each "
+            "note": f"full slam_main on a global {nproc}-process mesh "
+                    "(ingest fan-out, matching, BA observation axis sharded "
+                    "one device per process); trajectory parity with each "
                     "process's local single-device run",
         }
-        print("two-process pipeline:", results["two_process_pipeline"],
-              flush=True)
+        print(f"{nproc}-process pipeline:", results[key], flush=True)
     else:
-        results["two_process_pipeline"] = {"error": outs[0][-300:]}
+        results[key] = {"error": outs[0][-300:]}
 
 
 def pipeline_only():
@@ -352,7 +353,8 @@ def pipeline_only():
         os.path.abspath(__file__))), "SCALING.json")
     with open(out) as f:
         results = json.load(f)
-    run_two_process_pipeline(results)
+    run_two_process_pipeline(results, nproc=2)
+    run_two_process_pipeline(results, nproc=4)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
