@@ -260,12 +260,14 @@ class TpuConfig:
     #                                 ~30x ATE headroom (benchmarked as
     #                                 BENCH_SUITE "headline_gba": 0.84x the
     #                                 headline throughput)
-    global_ba_iters: int = 12       # LM iterations of the final refine
-    #                                 (measured on the 128-camera problem:
-    #                                 RMSE converges by iteration ~10 and
-    #                                 function_tolerance exits early anyway;
-    #                                 30 LM iters tripled the solve for
-    #                                 identical RMSE)
+    global_ba_iters: int = 8        # LM iterations of the final refine.
+    #                                 Measured trims (rounds 4+5), each at
+    #                                 quality parity on the live problems:
+    #                                 30->12 (RMSE 0.670 vs 0.668, 1/3 the
+    #                                 cost), then 12->8 with cg 16->12
+    #                                 (FHD 128-cam ATE 0.01% both ways;
+    #                                 4K 48-cam ATE 0.003% / RMSE 0.77
+    #                                 both ways; refine wall 689->419 ms)
     head_tie_tolerance: float = 0.0  # near-tie head preference in the
     #                                 good-frame rule: 0.0 = the reference's
     #                                 strict max-matches (batch.cpp:93-98);
@@ -299,10 +301,11 @@ class TpuConfig:
     #                                 measured 4K/10k regime).  Explicit so
     #                                 large-K configs outside that operating
     #                                 point are never switched silently.
-    global_ba_cg_iters: int = 16    # CG iterations per LM step (measured
-    #                                 on the 128-camera problem: RMSE 0.670
-    #                                 at cg=16 vs 0.668 at cg=32 for half
-    #                                 the solve time)
+    global_ba_cg_iters: int = 12    # CG iterations per LM step (round-4
+    #                                 measurement: RMSE 0.670 at cg=16 vs
+    #                                 0.668 at cg=32 for half the solve
+    #                                 time; 16->12 paired with the LM trim
+    #                                 above at measured quality parity)
 
 
 @dataclass(frozen=True)
