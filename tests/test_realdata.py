@@ -177,3 +177,47 @@ def test_real_corridor_pair_matching():
     m = knn.match_pair(a["desc"], a["valid"], b["desc"], b["valid"],
                        ratio=0.85, metric="hamming")
     assert int(m["num_matches"]) >= 30
+
+
+def test_slam_end_to_end_on_real_textures(tmp_path):
+    """Full SLAM on REAL image statistics: a two-depth planar scene textured
+    with the reference's own real photos (testing/realtex.py — every frame
+    is a homography warp of real pixels through an exact ground-truth pose,
+    with genuine parallax between the planes).  The from-scratch
+    FAST/SIFT/matcher/PnP/BA stack must track the sweep and land the
+    trajectory on ground truth — the regime the synthetic square-blob
+    oracle never exercises."""
+    import cv2
+
+    from slam_indoor_code_tpu.app import slam_main
+    from slam_indoor_code_tpu.config import Config, TpuConfig
+    from slam_indoor_code_tpu.metrics import absolute_trajectory_error
+    from slam_indoor_code_tpu.metrics.ate import camera_centers
+    from slam_indoor_code_tpu.testing.realtex import make_two_plane_scene
+
+    far = cv2.cvtColor(cv2.imread(f"{FRAMES}/3.png"), cv2.COLOR_BGR2RGB)
+    near = cv2.cvtColor(cv2.imread(f"{FRAMES}/1.png"),
+                        cv2.COLOR_BGR2RGB)[:, :750]
+    scene = make_two_plane_scene([far, near], n_frames=20, step=0.12,
+                                 image_size=(540, 960))
+    frames = [scene.render(i) for i in range(20)]
+    cfg = Config(
+        usePhotosCycle=True, outputDataDir=str(tmp_path),
+        requiredExtractedPointsCount=150, featureExtractingThreshold=20,
+        framesBatchSize=6, requiredMatchedPointsCount=40,
+        knnMatcherDistance=0.8, RPDistanceThreshold=500.0,
+        useBundleAdjustment=True, BAMaxFramesCnt=8,
+        BAUseHuberLossFunction=True, BAHuberLossFunctionParameter=2.0,
+        tpu=TpuConfig(max_keypoints=1024, ransac_iters=512,
+                      pnp_ransac_iters=128, window_points=4096,
+                      ba_max_iters=10))
+    gd = slam_main(cfg, scene.K, frames=frames)
+    est = camera_centers(gd.rotations, gd.positions)
+    assert len(est) >= 6, f"tracked only {len(est)} cameras on real texture"
+    ids = (np.asarray(gd.frame_ids) if len(gd.frame_ids) == len(est)
+           else np.arange(len(est)))
+    gt = scene.centers()[ids]
+    ext = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+    ate = absolute_trajectory_error(est, gt) / ext
+    assert ate < 0.02, f"real-texture ATE {100 * ate:.2f}% of extent"
+    assert len(gd.points) > 400
