@@ -515,6 +515,14 @@ def bench_long_384():
     return _bench_long(384, "long_sequence_384")
 
 
+def bench_long_512():
+    return _bench_long(512, "long_sequence_512")
+
+
+def bench_long_768():
+    return _bench_long(768, "long_sequence_768")
+
+
 # Suite order: microbenchmarks FIRST — after ~30 min of e2e runs the
 # long-lived process/relay measurably degrades small-kernel dispatch
 # (observed 27 -> 65 us/pair for the identical kernel mode run last vs in
@@ -528,6 +536,8 @@ MODES = {
     "4k": bench_4k,
     "long_256": bench_long_256,
     "long_384": bench_long_384,
+    "long_512": bench_long_512,
+    "long_768": bench_long_768,
 }
 
 
