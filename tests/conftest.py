@@ -27,6 +27,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _shed_compiled_programs():
+    """Drop jax's in-process compiled-executable caches between test modules.
+
+    jax-on-CPU keeps every compiled executable's LLVM-JIT code sections
+    mmap'd for the life of the process; a full-suite run compiles enough
+    programs to exhaust the kernel's default vm.max_map_count (65530), at
+    which point LLVM's allocator fails mid-compile ("LLVM compilation
+    error: Cannot allocate memory") and XLA segfaults/aborts.  Modules
+    rarely share shapes, so shedding at module boundaries costs little
+    recompilation and keeps the map count bounded by the largest single
+    module instead of the whole session."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def scene():
     from slam_indoor_code_tpu.testing import make_scene
