@@ -523,6 +523,10 @@ def bench_long_768():
     return _bench_long(768, "long_sequence_768")
 
 
+def bench_long_1024():
+    return _bench_long(1024, "long_sequence_1024")
+
+
 # Suite order: microbenchmarks FIRST — after ~30 min of e2e runs the
 # long-lived process/relay measurably degrades small-kernel dispatch
 # (observed 27 -> 65 us/pair for the identical kernel mode run last vs in
@@ -538,6 +542,7 @@ MODES = {
     "long_384": bench_long_384,
     "long_512": bench_long_512,
     "long_768": bench_long_768,
+    "long_1024": bench_long_1024,
 }
 
 
